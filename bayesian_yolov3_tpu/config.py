@@ -1,0 +1,116 @@
+"""Typed configuration with the reference's config-dict key surface.
+
+The reference configures every entry script through a hand-edited Python
+dict (README.md:28,43; pretraining.py:9-45).  We keep the same keys as
+dataclass fields so a reference user can carry their config over 1:1, and
+add the TPU-specific knobs (mesh shape, compute dtype) the reference has no
+counterpart for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional, Tuple
+
+from .core.blueprint import ModelBlueprint, Variant, VariantSpec
+from .core.priors import PRIOR_SETS, PriorSet, scale_priors_for_crop
+
+
+@dataclasses.dataclass
+class DataConfig:
+    """One dataset split (reference config['train'|'val'|'data'])."""
+
+    file_pattern: str = ""
+    num_shards: int = 1
+    shuffle_buffer_size: int = 64
+    cache: bool = False
+
+
+@dataclasses.dataclass
+class Config:
+    # --- model -----------------------------------------------------------
+    model: str = "bayesian"  # standard | aleatoric | bayesian
+    cls_cnt: int = 2
+    priors: Any = "ecp"  # name in PRIOR_SETS or a PriorSet dict
+    full_img_size: Tuple[int, int, int] = (1024, 1920, 3)
+    crop: bool = False
+    crop_img_size: Tuple[int, int, int] = (768, 1440, 3)
+    freeze_darknet53: bool = True
+    aleatoric_loss: bool = False
+    inference_mode: bool = False
+    T: int = 20  # MC-dropout sample count (reference config['T'])
+    standard_test_dropout: bool = False
+    implicit_background_class: bool = True
+
+    # --- training --------------------------------------------------------
+    run_id: str = "run"
+    train_steps: int = 500000
+    batch_size: int = 8
+    lr: float = 1e-5
+    ign_thresh: float = 0.7
+    checkpoint_interval: int = 5000
+    ckp_max_to_keep: int = 1
+    resume_training: bool = False
+    resume_checkpoint: str = "last"
+    darknet53_weights: str = "./darknet53.conv.74"
+    checkpoint_path: str = "./checkpoints"
+    tensorboard_path: str = "./tensorboard"
+    log_path: str = "./log"
+
+    # --- data ------------------------------------------------------------
+    train: DataConfig = dataclasses.field(default_factory=DataConfig)
+    val: DataConfig = dataclasses.field(default_factory=DataConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    cpu_thread_cnt: int = 4
+
+    # --- inference -------------------------------------------------------
+    thresh: float = 0.1
+    step: Any = "last"
+    out_path: str = "./inference"
+    batch_size_inference: int = 1
+    nms_max_boxes: int = 1000  # reference: tf.image.non_max_suppression(..., 1000)
+    nms_iou_thresh: float = 0.5  # TF default iou_threshold
+    nms_pre_top_k: int = 8192  # TPU-native: pre-NMS candidate cap (fixed shape)
+
+    # --- TPU-native knobs (no reference counterpart) ----------------------
+    compute_dtype: str = "bfloat16"  # conv/matmul compute dtype on TPU
+    mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)
+    max_boxes_per_img: int = 60  # static GT padding for the vectorized encoder
+
+    # ----------------------------------------------------------------------
+    @property
+    def variant(self) -> Variant:
+        return Variant(self.model)
+
+    @property
+    def variant_spec(self) -> VariantSpec:
+        return VariantSpec(variant=self.variant, cls_cnt=self.cls_cnt)
+
+    @property
+    def img_size(self) -> Tuple[int, int, int]:
+        """Active input size (crop-aware), reference model.py:6-17."""
+        return tuple(self.crop_img_size) if self.crop else tuple(self.full_img_size)
+
+    def resolved_priors(self) -> PriorSet:
+        priors = PRIOR_SETS[self.priors] if isinstance(self.priors, str) else self.priors
+        if self.crop:
+            priors = scale_priors_for_crop(priors, self.full_img_size, self.crop_img_size)
+        return priors
+
+    def blueprint(self) -> ModelBlueprint:
+        return ModelBlueprint.build(self.img_size, self.resolved_priors(), self.cls_cnt)
+
+    # config snapshots, parity with train.save_config (train.py:12-22)
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=4, default=str)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        d = dict(d)
+        for k in ("train", "val", "data"):
+            if k in d and isinstance(d[k], dict):
+                d[k] = DataConfig(**{f: v for f, v in d[k].items()
+                                     if f in {x.name for x in dataclasses.fields(DataConfig)}})
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})

@@ -1,0 +1,158 @@
+"""Primitive NN blocks: conv + (dropout) + batch-norm + LeakyReLU.
+
+TPU-native equivalents of the reference's delegated TF kernels
+(lib_yolo/layers.py:505-635): ``jax.lax.conv_general_dilated`` feeds the MXU;
+batch-norm folds to a per-channel affine that XLA fuses into the conv
+epilogue; dropout is an on-chip PRNG mask.  Layout is NHWC / HWIO with an
+explicit (1,1)/(1,1) pad for stride-2 convs — the darknet/caffe asymmetric
+padding (layers.py:616-635) which differs from TF/XLA 'SAME' on even inputs.
+
+Parameters live in plain pytrees::
+
+    params[name] = {'w': (kh,kw,cin,cout), 'gamma': (c,), 'beta': (c,)}
+    stats[name]  = {'mean': (c,), 'var': (c,)}          # BN moving stats
+    params[det]  = {'w': (1,1,cin,cout), 'b': (cout,)}  # detection head
+
+Trainable state and BN moving statistics are separate trees so the
+training step can freeze the backbone (reference yolov3.py:240-243) by
+partitioning the params tree alone.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5  # reference layers.py:511,517
+BN_MOMENTUM = 0.99  # tf.layers.batch_normalization default
+LEAKY_ALPHA = 0.1  # reference layers.py:574
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def leaky_relu(x, alpha: float = LEAKY_ALPHA):
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def conv2d(x, w, *, stride: int = 1, darknet_pad: bool = True):
+    """2D conv, no bias.  kernel_size in {1,3}, stride in {1,2}.
+
+    stride-1: SAME padding.  stride-2: explicit (1,1)x(1,1) zero pad then
+    VALID — darknet/caffe semantics (reference layers.py:527-542,616-635).
+
+    Precision: with float32 operands the MXU/oneDNN default silently drops
+    to bf16 passes; full-precision mode must be explicit.  bf16 operands use
+    the fast default path with f32 accumulation (preferred_element_type).
+    """
+    k = w.shape[0]
+    if stride == 1:
+        padding = "SAME"
+    elif darknet_pad:
+        assert k == 3, "stride-2 darknet conv requires 3x3 kernel"
+        padding = ((1, 1), (1, 1))
+    else:
+        padding = "SAME"
+    precision = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=_DN,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def dropout(x, rate: float, rng):
+    """Inverted dropout (tf.layers.dropout semantics, layers.py:521-524)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+def _bn_affine(gamma, beta, mean, var):
+    """Fold BN into per-channel scale/bias (inference / frozen mode)."""
+    scale = gamma * jax.lax.rsqrt(var + BN_EPS)
+    bias = beta - mean * scale
+    return scale, bias
+
+
+def conv_block(
+    params: Dict,
+    stats: Dict,
+    x,
+    *,
+    stride: int = 1,
+    training: bool = False,
+    drop_rate: Optional[float] = None,
+    rng=None,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, Dict]:
+    """conv -> [dropout] -> batch_norm -> LeakyReLU(0.1).
+
+    Ordering parity: dropout runs BEFORE batch norm (reference
+    yolov3.py:524-528 normalizer list ['dropout', 'bn']; layers.py:557-574).
+
+    Returns (activations, new_stats).  ``new_stats`` equals ``stats`` unless
+    ``training`` is True, in which case BN moving statistics are advanced
+    with momentum 0.99 over the biased batch variance (TF semantics).
+    """
+    y = conv2d(x.astype(compute_dtype), params["w"].astype(compute_dtype), stride=stride)
+    # y is f32 (preferred_element_type); normalize in f32 for stability.
+
+    if drop_rate is not None and drop_rate > 0.0:
+        assert rng is not None, "dropout requires an rng key"
+        y = dropout(y, drop_rate, rng)
+
+    gamma, beta = params["gamma"], params["beta"]
+    if training:
+        mean = jnp.mean(y, axis=(0, 1, 2))
+        var = jnp.var(y, axis=(0, 1, 2))
+        new_stats = {
+            "mean": stats["mean"] * BN_MOMENTUM + mean * (1.0 - BN_MOMENTUM),
+            "var": stats["var"] * BN_MOMENTUM + var * (1.0 - BN_MOMENTUM),
+        }
+    else:
+        mean, var = stats["mean"], stats["var"]
+        new_stats = stats
+    scale, bias = _bn_affine(gamma, beta, mean, var)
+    y = y * scale + bias
+    return leaky_relu(y).astype(compute_dtype), new_stats
+
+
+def detection_conv(params: Dict, x, *, compute_dtype=jnp.float32):
+    """1x1 linear detection head with bias (layers.py:600-613). Output f32."""
+    y = conv2d(x.astype(compute_dtype), params["w"].astype(compute_dtype), stride=1)
+    return y + params["b"].astype(jnp.float32)
+
+
+def upsample2x(x):
+    """Nearest-neighbor 2x upsample (layers.py:578-580) via reshape/broadcast."""
+    n, h, w, c = x.shape
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return y.reshape(n, 2 * h, 2 * w, c)
+
+
+# --------------------------------------------------------------------------
+# initializers (TF defaults: glorot_uniform kernels, zero bias, BN γ=1 β=0)
+# --------------------------------------------------------------------------
+
+
+def init_conv_block(rng, k: int, cin: int, cout: int):
+    w = jax.nn.initializers.glorot_uniform()(rng, (k, k, cin, cout), jnp.float32)
+    params = {
+        "w": w,
+        "gamma": jnp.ones((cout,), jnp.float32),
+        "beta": jnp.zeros((cout,), jnp.float32),
+    }
+    stats = {"mean": jnp.zeros((cout,), jnp.float32), "var": jnp.ones((cout,), jnp.float32)}
+    return params, stats
+
+
+def init_detection_conv(rng, cin: int, cout: int):
+    w = jax.nn.initializers.glorot_uniform()(rng, (1, 1, cin, cout), jnp.float32)
+    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}

@@ -1,0 +1,132 @@
+"""On-device class-agnostic greedy NMS with fixed shapes.
+
+The reference delegates NMS to TF's sequential CPU kernel
+(``tf.image.non_max_suppression``, inference_epistemic.py:99-128,
+max 1000 boxes, default IoU threshold 0.5, scored by objectness,
+class-agnostic, no score threshold).  A data-dependent output size cannot
+live under ``jit``, so here the greedy loop is a fixed-trip
+``lax.fori_loop`` producing a padded index vector plus a count — the exact
+same selection order and suppression semantics (suppress when IoU is
+strictly greater than the threshold; ties broken toward the lower index,
+matching TF's stable sort + first-argmax).
+
+The per-class NMS variant used for the paper (kept as commented-out code in
+the reference, inference_epistemic.py:104-126) is provided as
+``per_class_nms``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _iou_one_vs_all(box, boxes, areas):
+    """IoU of one [y0,x0,y1,x1] box against (N,4) boxes."""
+    y0 = jnp.maximum(boxes[:, 0], box[0])
+    x0 = jnp.maximum(boxes[:, 1], box[1])
+    y1 = jnp.minimum(boxes[:, 2], box[2])
+    x1 = jnp.minimum(boxes[:, 3], box[3])
+    inter = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)
+    area = jnp.maximum(box[2] - box[0], 0.0) * jnp.maximum(box[3] - box[1], 0.0)
+    return inter / (areas + area - inter)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def greedy_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_out: int = 1000,
+    iou_thresh: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy class-agnostic NMS.
+
+    Args:
+      boxes: (N, 4) [y0, x0, y1, x1] (any consistent coordinate scale).
+      scores: (N,) selection scores.
+      max_out: maximum selections (reference: 1000).
+      iou_thresh: suppress candidates with IoU > thresh (TF default 0.5).
+
+    Returns:
+      (indices, count): indices (max_out,) int32, -1 padded past ``count``.
+    """
+    boxes = boxes.astype(jnp.float32)
+    scores = scores.astype(jnp.float32)
+    n = boxes.shape[0]
+    areas = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+
+    def body(t, carry):
+        alive, out, cnt = carry
+        masked = jnp.where(alive, scores, -jnp.inf)
+        idx = jnp.argmax(masked)
+        ok = masked[idx] > -jnp.inf
+        iou = _iou_one_vs_all(boxes[idx], boxes, areas)
+        # NaN IoU (degenerate zero-area boxes) compares False -> kept alive,
+        # matching the TF kernel's behavior.
+        alive_next = alive & ~(iou > iou_thresh)
+        alive_next = alive_next.at[idx].set(False)
+        alive = jnp.where(ok, alive_next, alive)
+        out = out.at[t].set(jnp.where(ok, idx, -1))
+        return alive, out, cnt + ok.astype(jnp.int32)
+
+    alive0 = jnp.ones((n,), jnp.bool_)
+    out0 = jnp.full((max_out,), -1, jnp.int32)
+    _, indices, count = jax.lax.fori_loop(0, max_out, body, (alive0, out0, 0))
+    return indices, count
+
+
+@partial(jax.jit, static_argnames=("max_out", "obj_idx"))
+def nms_select(
+    decoded: jnp.ndarray,
+    obj_idx: int,
+    max_out: int = 1000,
+    iou_thresh: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS over a flattened decoded tensor, scored by its objectness column.
+
+    Mirrors the reference's ``nms`` helper (inference_epistemic.py:99-128):
+    boxes are columns [0:4], score is ``decoded[:, obj_idx]``.
+
+    Returns (selected (max_out, width) with zero padding, valid (max_out,)
+    bool, count).
+    """
+    indices, count = greedy_nms(decoded[:, :4], decoded[:, obj_idx], max_out, iou_thresh)
+    valid = indices >= 0
+    rows = decoded[jnp.maximum(indices, 0)]
+    rows = jnp.where(valid[:, None], rows, jnp.zeros_like(rows))
+    return rows, valid, count
+
+
+def per_class_nms(
+    decoded: jnp.ndarray,
+    obj_idx: int,
+    cls_start_idx: int,
+    cls_cnt: int,
+    max_out: int = 1000,
+    iou_thresh: float = 0.5,
+):
+    """Per-class NMS (the paper's variant, reference :104-126, 2 classes).
+
+    Boxes are partitioned by argmax class score; NMS runs per class with
+    non-member scores masked to -inf; results are concatenated.
+
+    Returns (selected (cls_cnt*max_out, width), valid, count).
+    """
+    cls_scores = decoded[:, cls_start_idx : cls_start_idx + cls_cnt]
+    winner = jnp.argmax(cls_scores, axis=-1)
+    all_rows, all_valid, total = [], [], jnp.zeros((), jnp.int32)
+    for c in range(cls_cnt):
+        member = winner == c
+        scores = jnp.where(member, decoded[:, obj_idx], -jnp.inf)
+        indices, count = greedy_nms(decoded[:, :4], scores, max_out, iou_thresh)
+        valid = indices >= 0
+        rows = decoded[jnp.maximum(indices, 0)]
+        all_rows.append(jnp.where(valid[:, None], rows, jnp.zeros_like(rows)))
+        all_valid.append(valid)
+        total = total + count
+    return jnp.concatenate(all_rows), jnp.concatenate(all_valid), total

@@ -1,0 +1,23 @@
+"""Test harness: run everything on CPU with 8 virtual devices.
+
+Multi-chip sharding tests use a fake 8-device mesh per the standard JAX
+pattern (XLA_FLAGS=--xla_force_host_platform_device_count=8); the real-TPU
+path is exercised by bench.py / __graft_entry__.py instead.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
