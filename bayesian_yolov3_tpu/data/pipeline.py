@@ -1,0 +1,223 @@
+"""Host-side input pipeline: tfrecords -> decoded, padded, batched numpy.
+
+The reference builds its input graph in TF's C++ tf.data runtime
+(dataset_utils.py:98-160: list_files -> shuffle -> interleave -> parse ->
+cache -> crop -> augment -> GT-encode -> shuffle -> repeat -> batch ->
+prefetch).  The TPU-native split is different on purpose:
+
+* HOST (this module): record reading, PNG decode, GT padding, shuffle
+  buffer, batching, and a prefetch thread — the irreducibly host-side work,
+  overlapped with device steps (parity with the reference's host-side
+  pipelining, SURVEY §2.9).
+* DEVICE (train step): [0,1) scaling, crop, augmentation, and the
+  vectorized GT encoder run jitted on the accelerator, fused into the
+  training step — instead of burning host CPUs per element.
+
+Output batches are dicts of numpy arrays::
+
+    image  (B, H, W, 3) uint8
+    bbox   (B, M, 4)    float32  [ymin, xmin, ymax, xmax] normalized
+    label  (B, M)       int32    (background shift already applied)
+    valid  (B, M)       bool
+    filename (B,) bytes          (testing pipeline only)
+"""
+
+from __future__ import annotations
+
+import io
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..config import Config
+from . import proto, tfrecord
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 (parity dataset_utils.decode_img :6-11,
+    minus the [0,1) scaling which happens on device)."""
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    return arr
+
+
+def parse_example(
+    record: bytes, config: Config, with_filename: bool = False
+) -> Dict[str, np.ndarray]:
+    """TF Object Detection API schema parse (dataset_utils.py:16-55).
+
+    Applies the implicit-background-class label shift (labels start at 1 in
+    the tfrecords -> shift to 0-based, dataset_utils.py:43-51).
+    """
+    feats = proto.decode_example(record)
+    img = decode_png(feats["image/encoded"][0])
+    xmin = np.asarray(feats.get("image/object/bbox/xmin", []), np.float32)
+    ymin = np.asarray(feats.get("image/object/bbox/ymin", []), np.float32)
+    xmax = np.asarray(feats.get("image/object/bbox/xmax", []), np.float32)
+    ymax = np.asarray(feats.get("image/object/bbox/ymax", []), np.float32)
+    bbox = np.stack([ymin, xmin, ymax, xmax], axis=1) if len(xmin) else np.zeros((0, 4), np.float32)
+    label = np.asarray(feats.get("image/object/class/label", []), np.int64).astype(np.int32)
+    if config.implicit_background_class:
+        label = label - 1
+    out = {"image": img, "bbox": bbox, "label": label}
+    if with_filename:
+        names = feats.get("image/filename", [b""])
+        out["filename"] = names[0] if names else b""
+    return out
+
+
+def _pad(parsed: Dict, max_boxes: int) -> Dict:
+    m = min(len(parsed["bbox"]), max_boxes)
+    bbox = np.zeros((max_boxes, 4), np.float32)
+    label = np.zeros((max_boxes,), np.int32)
+    valid = np.zeros((max_boxes,), bool)
+    bbox[:m] = parsed["bbox"][:m]
+    label[:m] = parsed["label"][:m]
+    valid[:m] = True
+    return {**parsed, "bbox": bbox, "label": label, "valid": valid}
+
+
+class ShuffleBuffer:
+    """Reservoir-style shuffle buffer (tf.data.Dataset.shuffle semantics)."""
+
+    def __init__(self, size: int, rng: np.random.Generator):
+        self.size = max(1, size)
+        self.rng = rng
+        self.buf: List = []
+
+    def __call__(self, it: Iterator) -> Iterator:
+        for item in it:
+            if len(self.buf) < self.size:
+                self.buf.append(item)
+                continue
+            j = int(self.rng.integers(0, self.size))
+            out, self.buf[j] = self.buf[j], item
+            yield out
+        self.rng.shuffle(self.buf)
+        while self.buf:
+            yield self.buf.pop()
+
+
+def _batch(items: List[Dict]) -> Dict[str, np.ndarray]:
+    keys = items[0].keys()
+    out = {}
+    for k in keys:
+        if k == "filename":
+            out[k] = np.asarray([it[k] for it in items], dtype=object)
+        else:
+            out[k] = np.stack([it[k] for it in items])
+    return out
+
+
+class _Prefetcher:
+    """Background-thread prefetch (parity: .prefetch(1) + the reference's
+    async worker threads, dataset_utils.py:137-144)."""
+
+    def __init__(self, gen_fn, depth: int = 2):
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def run():
+            try:
+                for item in gen_fn():
+                    if self._stop.is_set():
+                        return
+                    self.q.put(item)
+            except BaseException as e:  # surface worker errors to the consumer
+                self.q.put(e)
+            self.q.put(None)
+
+        self.thread = threading.Thread(target=run, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def close(self):
+        self._stop.set()
+        while not self.q.empty():
+            self.q.get_nowait()
+
+
+class TrainLoader:
+    """Infinite shuffled train/val batches (parity TrainValDataset :113-160)."""
+
+    def __init__(self, config: Config, split: str = "train", seed: int = 0):
+        self.config = config
+        self.split_cfg = getattr(config, split)
+        self.split = split
+        self.rng = np.random.default_rng(seed)
+        self._prefetcher: Optional[_Prefetcher] = None
+
+    def _epochs(self) -> Iterator[Dict]:
+        cache: Optional[List[bytes]] = [] if self.split_cfg.cache else None
+        first = True
+        while True:  # .repeat()
+            if cache is not None and not first:
+                records: Iterator[bytes] = iter(cache)
+            else:
+                records = tfrecord.read_shards(
+                    self.split_cfg.file_pattern, shuffle_rng=self.rng
+                )
+                if cache is not None:
+                    records = self._caching_iter(records, cache)
+            shuffled = ShuffleBuffer(self.split_cfg.shuffle_buffer_size, self.rng)(records)
+            for rec in shuffled:
+                yield _pad(parse_example(rec, self.config), self.config.max_boxes_per_img)
+            first = False
+
+    @staticmethod
+    def _caching_iter(records, cache):
+        for r in records:
+            cache.append(r)
+            yield r
+
+    def batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        def gen():
+            buf = []
+            for item in self._epochs():
+                buf.append(item)
+                if len(buf) == self.config.batch_size:
+                    yield _batch(buf)
+                    buf = []
+
+        self._prefetcher = _Prefetcher(gen)
+        return iter(self._prefetcher)
+
+    def close(self):
+        if self._prefetcher:
+            self._prefetcher.close()
+
+
+class TestLoader:
+    """One-epoch, ordered (img, filename) batches (parity TestingDataset
+    :188-219)."""
+
+    def __init__(self, config: Config, batch_size: Optional[int] = None):
+        self.config = config
+        self.batch_size = batch_size or config.batch_size
+
+    def batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        def gen():
+            buf = []
+            for rec in tfrecord.read_shards(self.config.data.file_pattern):
+                parsed = parse_example(rec, self.config, with_filename=True)
+                parsed.pop("bbox"), parsed.pop("label")
+                buf.append(parsed)
+                if len(buf) == self.batch_size:
+                    yield _batch(buf)
+                    buf = []
+            if buf:
+                yield _batch(buf)  # final partial batch
+
+        return iter(_Prefetcher(gen))

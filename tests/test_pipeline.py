@@ -1,0 +1,77 @@
+"""Host input pipeline tests over a synthetic tfrecord dataset."""
+
+import numpy as np
+import pytest
+
+from bayesian_yolov3_tpu.config import Config, DataConfig
+from bayesian_yolov3_tpu.data import pipeline
+
+import synth
+
+
+@pytest.fixture
+def dataset(tmp_path, rng):
+    pattern = synth.write_dataset(str(tmp_path), rng, n_images=6, img_hw=(64, 96))
+    return pattern
+
+
+def _config(pattern):
+    return Config(
+        model="standard",
+        full_img_size=(64, 96, 3),
+        batch_size=2,
+        max_boxes_per_img=8,
+        train=DataConfig(file_pattern=pattern, num_shards=2, shuffle_buffer_size=4),
+        val=DataConfig(file_pattern=pattern, num_shards=2, shuffle_buffer_size=4),
+        data=DataConfig(file_pattern=pattern),
+    )
+
+
+def test_train_loader_batches(dataset):
+    cfg = _config(dataset)
+    loader = pipeline.TrainLoader(cfg, "train", seed=1)
+    it = loader.batches()
+    for _ in range(5):  # > one epoch: repeat works
+        batch = next(it)
+        assert batch["image"].shape == (2, 64, 96, 3)
+        assert batch["image"].dtype == np.uint8
+        assert batch["bbox"].shape == (2, 8, 4)
+        assert batch["label"].shape == (2, 8)
+        assert batch["valid"].any()
+        # background shift applied: labels in {0,1} at valid slots
+        assert set(batch["label"][batch["valid"]]) <= {0, 1}
+    loader.close()
+
+
+def test_test_loader_one_epoch_with_filenames(dataset):
+    cfg = _config(dataset)
+    batches = list(pipeline.TestLoader(cfg, batch_size=4).batches())
+    n = sum(b["image"].shape[0] for b in batches)
+    assert n == 6  # exactly one epoch, partial final batch included
+    names = [f for b in batches for f in b["filename"]]
+    assert all(name.endswith(b".png") for name in names)
+    assert len(set(names)) == 6
+
+
+def test_parse_example_label_shift(dataset, rng):
+    from bayesian_yolov3_tpu.data import tfrecord
+
+    cfg = _config(dataset)
+    rec = next(tfrecord.read_shards(dataset))
+    with_shift = pipeline.parse_example(rec, cfg)
+    cfg2 = _config(dataset)
+    cfg2.implicit_background_class = False
+    without = pipeline.parse_example(rec, cfg2)
+    np.testing.assert_array_equal(with_shift["label"] + 1, without["label"])
+    assert with_shift["image"].shape == (64, 96, 3)
+
+
+def test_prefetcher_propagates_errors():
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = iter(pipeline._Prefetcher(gen))
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
