@@ -44,6 +44,7 @@ class Config:
     implicit_background_class: bool = True
 
     # --- training --------------------------------------------------------
+    training: bool = True  # False -> qualitative eval (reference pretraining.py:54-60)
     run_id: str = "run"
     train_steps: int = 500000
     batch_size: int = 8

@@ -1,0 +1,175 @@
+"""Inference runners: tfrecords -> detections -> ECP JSON files.
+
+One runner covers the reference's three scripts (same skeleton each:
+TestingDataset -> checkpoint resolve -> forward+decode+NMS -> session loop
+-> async JSON writer thread — inference_{standard_yolov3,aleatoric,
+epistemic}.py):
+
+* standard / aleatoric: batched forward, per-batch-element NMS (the
+  reference builds a tf.while_loop per element, :104-145; here it is a
+  ``vmap`` of the fixed-shape greedy NMS).
+* epistemic (bayesian, inference_mode): batch 1, T-sample ``mc_forward``,
+  epistemic reduction, NMS over the flattened 21+C rows.  The T sample
+  axis can be sharded over an ``mc`` mesh axis.
+
+The whole device program (forward -> decode -> NMS) is one jit; the JSON
+writing overlaps the next batch on a worker thread (parity
+inference_epistemic.py:75-92).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+import time
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..core.blueprint import Variant
+from ..core.priors import priors_as_array
+from ..data import pipeline
+from ..models.yolov3 import YoloV3
+from ..ops import decode, nms
+from ..parallel import mesh as mesh_lib
+from ..train.checkpoints import CheckpointStore
+from ..train.loop import merge_params, partition_params
+from .ecp import bbox_to_ecp_format
+
+log = logging.getLogger("byolo.infer")
+
+
+class InferenceRunner:
+    def __init__(self, config: Config, seed: int = 0):
+        assert not config.crop, "inference runs on full images (reference :198)"
+        self.config = config
+        self.model = YoloV3.from_config(config)
+        self.spec = self.model.spec
+        self.epistemic = (
+            self.spec.variant == Variant.BAYESIAN and config.inference_mode
+        )
+        self.rng = jax.random.PRNGKey(seed)
+        self._priors = priors_as_array(self.model.priors)
+        self._jit = jax.jit(self._device_pipeline)
+
+    # -- checkpoint handling -------------------------------------------
+
+    def load_state(self):
+        """Restore params/stats from a training checkpoint ('last' or step,
+        parity inference_epistemic.py:27-38)."""
+        store = CheckpointStore(
+            self.config.checkpoint_path, self.config.run_id, max_to_keep=1
+        )
+        params, stats = self.model.init(jax.random.PRNGKey(0))
+        trainable, frozen = partition_params(params, self.config.freeze_darknet53)
+        like = {
+            "params": jax.tree.map(np.asarray, trainable),
+            "frozen": jax.tree.map(np.asarray, frozen),
+            "stats": jax.tree.map(np.asarray, stats),
+        }
+        restored, step = store.restore_partial(like, step=self.config.step)
+        params = merge_params(restored["params"], restored["frozen"])
+        return params, restored["stats"], step
+
+    # -- device program -------------------------------------------------
+
+    def _decode_scales(self, raws, epistemic: bool):
+        decoded = []
+        for i, (raw, stride) in enumerate(zip(raws, (32, 16, 8))):
+            det = decode.split_detection(raw, self.spec)
+            pri = jnp.asarray(self._priors[stride])
+            if epistemic:
+                stats = decode.decode_epistemic_stats(det)
+                decoded.append(decode.decode_bbox_epistemic(stats, pri, layer_id=i))
+            elif self.spec.aleatoric_head:
+                decoded.append(decode.decode_bbox_aleatoric(det, pri, layer_id=i))
+            else:
+                d = decode.decode_bbox_standard(det, pri)
+                decoded.append(d)
+        return decoded
+
+    def _device_pipeline(self, params, stats, images, rng):
+        """uint8 batch -> (rows, valid) padded NMS selections."""
+        imgs = images.astype(jnp.float32) / 255.0
+        cfg = self.config
+        obj_idx = self.spec.obj_idx(self.epistemic)
+        if self.epistemic:
+            raws = self.model.mc_forward(params, stats, imgs, T=cfg.T, rng=rng)
+            decoded = self._decode_scales(raws, epistemic=True)
+            flat = decode.concat_all_scales(decoded)
+            rows, valid, _ = nms.nms_select(
+                flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh
+            )
+            return rows[None], valid[None]
+        raws, _ = self.model.forward(params, stats, imgs, training=False, rng=rng)
+        decoded = self._decode_scales(raws, epistemic=False)
+
+        def per_element(ds):
+            flat = decode.concat_all_scales(ds)
+            rows, valid, _ = nms.nms_select(
+                flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh
+            )
+            return rows, valid
+
+        return jax.vmap(per_element)(decoded)
+
+    # -- host loop -------------------------------------------------------
+
+    def run(self, out_path: Optional[str] = None) -> str:
+        cfg = self.config
+        params, stats, step = self.load_state()
+        out_dir = f"{out_path or cfg.out_path}_{step}"
+        os.makedirs(out_dir)  # parity: refuses to overwrite (:43)
+
+        batch_size = 1 if self.epistemic else cfg.batch_size
+        loader = pipeline.TestLoader(cfg, batch_size=batch_size)
+        worker: Optional[threading.Thread] = None
+        n = 0
+        start = time.time()
+        for batch in loader.batches():
+            bsz = batch["image"].shape[0]
+            images = batch["image"]
+            if bsz < batch_size:  # pad final partial batch (static shapes)
+                pad = np.repeat(images[-1:], batch_size - bsz, axis=0)
+                images = np.concatenate([images, pad], axis=0)
+            key = jax.random.fold_in(self.rng, n)
+            rows, valid = self._jit(params, stats, jnp.asarray(images), key)
+            rows = np.asarray(rows)[:bsz]
+            valid = np.asarray(valid)[:bsz]
+            if worker:
+                worker.join()
+            names = [f.decode() if isinstance(f, bytes) else f for f in batch["filename"]]
+            worker = threading.Thread(
+                target=self._write_batch, args=(rows, valid, names, out_dir)
+            )
+            worker.start()
+            n += bsz
+            if n % 15 == 0:
+                log.info("Processed %d images.", n)
+        if worker:
+            worker.join()
+        elapsed = time.time() - start
+        log.info("Processed %d images in %.1fs (%.2f img/s).", n, elapsed,
+                 n / max(elapsed, 1e-9))
+        return out_dir
+
+    def _write_batch(self, rows, valid, names, out_dir):
+        for b in range(rows.shape[0]):
+            dets = [
+                bbox_to_ecp_format(
+                    rows[b, i],
+                    self.config.full_img_size,
+                    self.spec,
+                    epistemic=self.epistemic,
+                    implicit_background_class=self.config.implicit_background_class,
+                )
+                for i in np.flatnonzero(valid[b])
+            ]
+            base = os.path.splitext(os.path.basename(names[b]))[0]
+            with open(os.path.join(out_dir, f"{base}.json"), "w") as f:
+                json.dump({"children": dets}, f)

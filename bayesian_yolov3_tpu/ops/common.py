@@ -55,15 +55,18 @@ def conv2d(x, w, *, stride: int = 1, darknet_pad: bool = True):
         padding = ((1, 1), (1, 1))
     else:
         padding = "SAME"
-    precision = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    f32 = x.dtype == jnp.float32
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=_DN,
-        precision=precision,
-        preferred_element_type=jnp.float32,
+        # f32 operands: force true f32 passes (the default silently uses
+        # bf16).  bf16 operands: bf16 output keeps fwd/bwd dtypes uniform
+        # (standard mixed precision; the MXU accumulates f32 internally).
+        precision=jax.lax.Precision.HIGHEST if f32 else None,
+        preferred_element_type=jnp.float32 if f32 else None,
     )
 
 
@@ -102,12 +105,12 @@ def conv_block(
     with momentum 0.99 over the biased batch variance (TF semantics).
     """
     y = conv2d(x.astype(compute_dtype), params["w"].astype(compute_dtype), stride=stride)
-    # y is f32 (preferred_element_type); normalize in f32 for stability.
 
     if drop_rate is not None and drop_rate > 0.0:
         assert rng is not None, "dropout requires an rng key"
         y = dropout(y, drop_rate, rng)
 
+    y = y.astype(jnp.float32)  # normalize / batch stats in f32
     gamma, beta = params["gamma"], params["beta"]
     if training:
         mean = jnp.mean(y, axis=(0, 1, 2))
@@ -127,7 +130,7 @@ def conv_block(
 def detection_conv(params: Dict, x, *, compute_dtype=jnp.float32):
     """1x1 linear detection head with bias (layers.py:600-613). Output f32."""
     y = conv2d(x.astype(compute_dtype), params["w"].astype(compute_dtype), stride=1)
-    return y + params["b"].astype(jnp.float32)
+    return y.astype(jnp.float32) + params["b"].astype(jnp.float32)
 
 
 def upsample2x(x):

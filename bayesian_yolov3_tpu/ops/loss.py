@@ -35,8 +35,12 @@ LOG_VAR_CLIP = 40.0  # reference layers.py:151
 
 
 def sigmoid_bce_with_logits(labels, logits):
-    """tf.nn.sigmoid_cross_entropy_with_logits: max(x,0) - x*z + log1p(exp(-|x|))."""
-    return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    """tf.nn.sigmoid_cross_entropy_with_logits, as softplus(x) - x*z.
+
+    Value-identical to TF's max(x,0) - x*z + log1p(exp(-|x|)) but with the
+    correct gradient sigmoid(x) - z everywhere (the max/abs form has a
+    spurious zero subgradient exactly at x == 0)."""
+    return jnp.logaddexp(0.0, logits) - logits * labels
 
 
 def sparse_softmax_ce_with_logits(labels, logits):

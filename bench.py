@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Headline benchmark: ECP-resolution epistemic inference throughput.
+
+Measures the flagship pipeline — bayesian YOLOv3, full 1024x1920 ECP
+frames, T=30 MC-dropout samples, epistemic decode + 1000-box NMS, batch 1
+(the reference's enforced epistemic batch size) — end to end on the
+default device, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+``vs_baseline`` compares against the reference implementation's achievable
+throughput on this machine's CPU (the TF-1.x reference is CPU/1-GPU only;
+no GPU exists here).  That baseline is measured once by running the same
+mathematical pipeline jitted on the host CPU and cached in
+``bench_baseline.json`` (delete the file to re-measure).  The north star
+(BASELINE.json) is >= 10x.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+IMG_SIZE = (1024, 1920, 3)
+T = 30
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+
+def build_pipeline(backend=None, compute_dtype="bfloat16"):
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_yolov3_tpu.config import Config
+    from bayesian_yolov3_tpu.core.priors import priors_as_array
+    from bayesian_yolov3_tpu.models.yolov3 import YoloV3
+    from bayesian_yolov3_tpu.ops import decode, nms
+
+    cfg = Config(model="bayesian", full_img_size=IMG_SIZE, T=T,
+                 inference_mode=True, compute_dtype=compute_dtype)
+    model = YoloV3.from_config(cfg)
+    pri = priors_as_array(model.priors)
+
+    def pipeline(params, stats, image, key):
+        raws = model.mc_forward(params, stats, image, T=T, rng=key)
+        decoded = []
+        for i, (raw, stride) in enumerate(zip(raws, (32, 16, 8))):
+            det = decode.split_detection(raw, model.spec)
+            st = decode.decode_epistemic_stats(det)
+            decoded.append(
+                decode.decode_bbox_epistemic(st, jnp.asarray(pri[stride]), layer_id=i)
+            )
+        flat = decode.concat_all_scales(decoded)
+        return nms.nms_select(flat, obj_idx=model.spec.obj_idx(epistemic=True),
+                              max_out=1000)
+
+    device = jax.devices(backend)[0] if backend else jax.devices()[0]
+    params, stats = jax.device_put(model.init(jax.random.PRNGKey(0)), device)
+    img = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, *IMG_SIZE)), jnp.float32),
+        device,
+    )
+    jitted = jax.jit(pipeline, device=device)
+    return jitted, params, stats, img
+
+
+def time_pipeline(jitted, params, stats, img, iters, warmup=1):
+    import jax
+
+    key = jax.random.PRNGKey(1)
+    for i in range(warmup):
+        out = jitted(params, stats, img, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+    t0 = time.time()
+    for i in range(iters):
+        out = jitted(params, stats, img, jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(out)
+    dt = time.time() - t0
+    return iters / dt
+
+
+def measure_cpu_baseline():
+    """Reference-equivalent throughput on the host CPU (measured once)."""
+    jitted, params, stats, img = build_pipeline(backend="cpu", compute_dtype="float32")
+    ips = time_pipeline(jitted, params, stats, img, iters=1, warmup=1)
+    return ips
+
+
+def main():
+    import jax
+
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)
+    else:
+        cpu_ips = measure_cpu_baseline()
+        baseline = {
+            "cpu_images_per_sec": cpu_ips,
+            "note": "reference-strategy pipeline (f32, batch 1, T=30, "
+                    "1024x1920) jitted on host CPU; the TF-1.x reference is "
+                    "CPU-bound on this GPU-less machine",
+        }
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(baseline, f, indent=2)
+
+    jitted, params, stats, img = build_pipeline()
+    backend = jax.devices()[0].platform
+    iters = 10 if backend != "cpu" else 1
+    ips = time_pipeline(jitted, params, stats, img, iters=iters, warmup=2)
+
+    print(json.dumps({
+        "metric": f"ECP 1024x1920 epistemic inference T={T} ({backend})",
+        "value": round(ips, 4),
+        "unit": "img/s",
+        "vs_baseline": round(ips / baseline["cpu_images_per_sec"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Aleatoric inference -> ECP JSON (parity inference_aleatoric.py).
+
+Batched forward; JSON fields include per-coordinate aleatoric variances,
+total variance, and obj/cls entropies.
+"""
+
+import logging
+import time
+
+from _common import build_config, setup_logging
+
+from bayesian_yolov3_tpu.infer import InferenceRunner
+
+DEFAULTS = {
+    "model": "aleatoric",
+    "checkpoint_path": "./checkpoints",  # edit
+    "run_id": "ale",  # edit
+    "step": "last",  # edit
+    "full_img_size": [1024, 1920, 3],  # edit if not ECP dataset
+    "cls_cnt": 2,  # edit if not ECP dataset
+    "batch_size": 11,  # edit
+    "inference_mode": False,
+    "cpu_thread_cnt": 24,  # edit
+    "crop": False,
+    "aleatoric_loss": True,
+    "priors": "ecp",  # edit
+    "implicit_background_class": True,
+    "data": {
+        "file_pattern": "./data/ecp-day-val-*-of-*",  # edit
+        "num_shards": 4,
+        "shuffle_buffer_size": 1,
+        "cache": False,
+    },
+    "out_path": "./inference/ale",  # edit
+}
+
+
+def main():
+    setup_logging()
+    config = build_config(DEFAULTS)
+    logging.info("----- START -----")
+    start = time.time()
+    out_dir = InferenceRunner(config).run()
+    elapsed = int(time.time() - start)
+    logging.info("----- FINISHED in %02d:%02d:%02d -----",
+                 elapsed // 3600, (elapsed // 60) % 60, elapsed % 60)
+    logging.info("results: %s", out_dir)
+
+
+if __name__ == "__main__":
+    main()

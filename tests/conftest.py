@@ -7,12 +7,20 @@ path is exercised by bench.py / __graft_entry__.py instead.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pins JAX_PLATFORMS=axon (the TPU tunnel) and the plugin
+# wins over a plain env-var override, so force CPU through jax.config —
+# that is honored.  XLA_FLAGS must be in the environment before backend
+# initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -24,6 +24,7 @@ def make_png(rng, h, w, boxes=None):
 def write_dataset(path, rng, n_images=6, img_hw=(64, 96), shards=2,
                   implicit_background=True):
     """Write a sharded TF-ODAPI-format dataset; returns the file pattern."""
+    os.makedirs(path, exist_ok=True)
     h, w = img_hw
     per_shard = (n_images + shards - 1) // shards
     idx = 0

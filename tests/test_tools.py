@@ -1,0 +1,143 @@
+"""CityPersons creator, detect demo, and uncertainty visualizer tests."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from bayesian_yolov3_tpu.config import Config, DataConfig
+from bayesian_yolov3_tpu.data import citypersons, pipeline, proto, tfrecord
+
+import synth
+
+
+def _make_citypersons_tree(tmp_path, rng, n_train=3, n_val=2):
+    """Synthesize a CityPersons-like directory (mat annotations + PNGs)."""
+    import scipy.io
+    from PIL import Image
+
+    img_root = tmp_path / "cityscapes" / "leftImg8bit_trainvaltest" / "leftImg8bit"
+    anno_dir = tmp_path / "citypersons" / "annotations"
+    os.makedirs(anno_dir)
+
+    def build_split(split, n):
+        entries = []
+        for i in range(n):
+            city = "testcity"
+            name = f"{city}_{split}_{i:06d}.png"
+            d = img_root / split / city
+            os.makedirs(d, exist_ok=True)
+            img = (rng.uniform(0, 255, (1024, 2048, 3))).astype(np.uint8)
+            Image.fromarray(img).save(d / name)
+            # bbs rows: class_label, x1, y1, w, h, instance_id, vis...
+            bbs = np.asarray(
+                [
+                    [1, 100, 200, 50, 120, 1, 0, 0, 0, 0],   # pedestrian
+                    [2, 400, 300, 40, 100, 2, 0, 0, 0, 0],   # rider
+                    [0, 0, 0, 10, 10, 3, 0, 0, 0, 0],        # ignore -> skipped
+                    [5, 50, 50, 30, 30, 4, 0, 0, 0, 0],      # group -> skipped
+                    [3, 700, 100, 20, 60, 5, 0, 0, 0, 0],    # sitting -> 1
+                ],
+                np.uint16,
+            )
+            # replicate the matlab struct nesting: datum[0][0] is a record
+            # with fields (cityname, im_name, bbs) accessed by index
+            dt = np.dtype([("cityname", "O"), ("im_name", "O"), ("bbs", "O")])
+            rec = np.zeros((1, 1), dtype=dt)
+            rec[0, 0] = (np.asarray([city]), np.asarray([name]), bbs)
+            entries.append(rec)
+        arr = np.empty((1, len(entries)), object)
+        for i, e in enumerate(entries):
+            arr[0, i] = e
+        return arr
+
+    scipy.io.savemat(anno_dir / "anno_train.mat", {"anno_train_aligned": build_split("train", n_train)})
+    scipy.io.savemat(anno_dir / "anno_val.mat", {"anno_val_aligned": build_split("val", n_val)})
+    return tmp_path
+
+
+def test_citypersons_process_dataset(tmp_path, rng):
+    root = _make_citypersons_tree(tmp_path, rng)
+    out = str(tmp_path / "out")
+    citypersons.process_dataset(
+        out_dir=out,
+        dataset_name="citypersons",
+        anno_dir=str(root / "citypersons"),
+        img_dir=str(root / "cityscapes"),
+        train_shards=2,
+        val_shards=1,
+        shuffle=True,
+    )
+    shards = sorted(glob.glob(os.path.join(out, "citypersons-train-0*-of-*")))
+    assert len(shards) == 2
+    assert os.path.exists(os.path.join(out, "citypersons-val-00001-of-00001"))
+    # label mapping + skipping: 3 boxes kept of 5 (ignore+group dropped)
+    recs = list(tfrecord.read_records(shards[0], verify=True))
+    feats = proto.decode_example(recs[0])
+    labels = list(feats["image/object/class/label"])
+    assert sorted(labels) == [1, 1, 2]
+    assert int(feats["image/object/cnt"][0]) == 3
+    np.testing.assert_allclose(
+        feats["image/object/bbox/ymin"].min(), 100 / 1024, atol=1e-6
+    )
+    # prior-clustering artifacts
+    sizes = np.load(os.path.join(out, "citypersons-train-box_sizes.npy"))
+    assert sizes.shape[1] == 2 and len(sizes) == 3 * 3
+    assert os.path.exists(os.path.join(out, "citypersons-np_random_state"))
+    # and the records round-trip through the training parser
+    cfg = Config(model="standard", full_img_size=(1024, 2048, 3), cls_cnt=2)
+    parsed = pipeline.parse_example(recs[0], cfg)
+    assert parsed["image"].shape == (1024, 2048, 3)
+    assert set(parsed["label"]) <= {0, 1}  # background shift applied
+
+
+def test_detect_demo_and_vis(tmp_path, rng):
+    """detect.py + vis_uncertainty.py flows on a tiny trained bayesian model."""
+    from PIL import Image
+
+    from bayesian_yolov3_tpu.infer.detect import Detector
+    from bayesian_yolov3_tpu.infer.runner import InferenceRunner
+    from bayesian_yolov3_tpu.infer.vis import UncertaintyVisualizer
+    from bayesian_yolov3_tpu.train import loop as train_loop
+
+    pattern = synth.write_dataset(str(tmp_path / "data"), rng, n_images=4, img_hw=(64, 96))
+    cfg = Config(
+        model="bayesian",
+        full_img_size=(64, 96, 3),
+        batch_size=2,
+        max_boxes_per_img=8,
+        train_steps=2,
+        checkpoint_interval=2,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        darknet53_weights="",
+        run_id="demo",
+        T=3,
+        thresh=0.0,
+        nms_max_boxes=20,
+        train=DataConfig(file_pattern=pattern, shuffle_buffer_size=2),
+        val=DataConfig(file_pattern=pattern, shuffle_buffer_size=2),
+        data=DataConfig(file_pattern=pattern),
+    )
+    train_loop.Trainer(cfg, seed=0).run()
+
+    img_file = tmp_path / "test.png"
+    Image.fromarray((rng.uniform(0, 255, (64, 96, 3))).astype(np.uint8)).save(img_file)
+
+    cfg.inference_mode = True
+    det = Detector(cfg)
+    results = det.run([str(img_file)], out_dir=str(tmp_path / "det_out"))
+    assert len(results) == 1
+    assert os.path.exists(tmp_path / "det_out" / "test_det.png")
+
+    runner = InferenceRunner(cfg)
+    params, stats, _ = runner.load_state()
+    vis = UncertaintyVisualizer(cfg, params, stats)
+    from bayesian_yolov3_tpu.infer.detect import load_img
+
+    written = vis.render(load_img(str(img_file)), str(tmp_path / "vis_out"), tag="t")
+    # 11 keys x 3 scales x 3 priors
+    assert len(written) == 11 * 3 * 3
+    assert all(os.path.exists(p) for p in written)
