@@ -76,6 +76,7 @@ class Config:
 
     # --- TPU-native knobs (no reference counterpart) ----------------------
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype on TPU
+    use_pallas: bool = True  # fused Pallas decode kernels (TPU backend only)
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)
     max_boxes_per_img: int = 60  # static GT padding for the vectorized encoder
 

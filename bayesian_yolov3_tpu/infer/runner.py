@@ -53,7 +53,8 @@ class InferenceRunner:
         self.epistemic = (
             self.spec.variant == Variant.BAYESIAN and config.inference_mode
         )
-        self.rng = jax.random.PRNGKey(seed)
+        # rbg: cheap on-TPU random bits for the MC-dropout masks
+        self.rng = jax.random.key(seed, impl="rbg")
         self._priors = priors_as_array(self.model.priors)
         self._jit = jax.jit(self._device_pipeline)
 
@@ -93,17 +94,38 @@ class InferenceRunner:
                 decoded.append(d)
         return decoded
 
+    def _use_fused_kernels(self) -> bool:
+        return self.config.use_pallas and jax.devices()[0].platform == "tpu"
+
     def _device_pipeline(self, params, stats, images, rng):
         """uint8 batch -> (rows, valid) padded NMS selections."""
         imgs = images.astype(jnp.float32) / 255.0
         cfg = self.config
         obj_idx = self.spec.obj_idx(self.epistemic)
         if self.epistemic:
-            raws = self.model.mc_forward(params, stats, imgs, T=cfg.T, rng=rng)
-            decoded = self._decode_scales(raws, epistemic=True)
+            if self._use_fused_kernels():
+                # channels-first heads + fused Pallas epistemic decode
+                from ..models.yolov3 import mc_forward_cf
+                from ..ops.pallas_epistemic import fused_epistemic_decode_cf
+
+                outs = mc_forward_cf(
+                    params, stats, imgs, spec=self.spec, T=cfg.T, rng=rng,
+                    compute_dtype=self.model._dtype,
+                )
+                decoded = [
+                    fused_epistemic_decode_cf(
+                        raw_cf, jnp.asarray(self._priors[stride]),
+                        h=hw[0], w=hw[1], cls_cnt=self.spec.cls_cnt, layer_id=i,
+                    )
+                    for i, ((raw_cf, hw), stride) in enumerate(zip(outs, (32, 16, 8)))
+                ]
+            else:
+                raws = self.model.mc_forward(params, stats, imgs, T=cfg.T, rng=rng)
+                decoded = self._decode_scales(raws, epistemic=True)
             flat = decode.concat_all_scales(decoded)
             rows, valid, _ = nms.nms_select(
-                flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh
+                flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
+                pre_top_k=cfg.nms_pre_top_k,
             )
             return rows[None], valid[None]
         raws, _ = self.model.forward(params, stats, imgs, training=False, rng=rng)
@@ -112,7 +134,8 @@ class InferenceRunner:
         def per_element(ds):
             flat = decode.concat_all_scales(ds)
             rows, valid, _ = nms.nms_select(
-                flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh
+                flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
+                pre_top_k=cfg.nms_pre_top_k,
             )
             return rows, valid
 

@@ -83,6 +83,7 @@ def _heads(
     dropout_active: bool,
     rng=None,
     compute_dtype=jnp.float32,
+    return_features: bool = False,
 ):
     """Everything after the backbone: 3 det heads + scale transitions.
 
@@ -90,6 +91,10 @@ def _heads(
     convs 0..4 of each head when ``dropout_active`` (bayesian variant only;
     the transition convs and the final pre-detection conv are dropout-free,
     parity yolov3.py:543-622).
+
+    ``return_features=True`` returns the pre-detection-conv activations
+    instead of detection outputs (the MC-sharded fast path applies the
+    1x1 head as one channels-first contraction over all T samples).
     """
     new_stats = {}
     if dropout_active:
@@ -124,7 +129,12 @@ def _heads(
             x = run_block(f"head{head}_conv{j}", x, drop=j <= _BRANCH_IDX)
             if j == _BRANCH_IDX:
                 branch = x
-        raws.append(detection_conv(params[f"det{head}"], x, compute_dtype=compute_dtype))
+        if return_features:
+            raws.append(x)
+        else:
+            raws.append(
+                detection_conv(params[f"det{head}"], x, compute_dtype=compute_dtype)
+            )
         x = branch
     return tuple(raws), new_stats
 
@@ -201,6 +211,52 @@ def mc_forward(
 
     keys = jax.random.split(rng, T)
     return jax.vmap(one_sample)(keys)
+
+
+def mc_forward_cf(
+    params: Dict,
+    stats: Dict,
+    img,
+    *,
+    spec: VariantSpec,
+    T: int,
+    rng,
+    compute_dtype=jnp.float32,
+):
+    """T-sample MC forward emitting CHANNELS-FIRST raw heads.
+
+    Like ``mc_forward`` but the 1x1 detection convs are applied as one
+    channels-first MXU contraction over the stacked samples
+    (ops.common.detection_conv_cf), yielding (ch, T, h*w) f32 per scale —
+    the native input layout of the fused Pallas epistemic decoder, with no
+    relayout transpose in between.  Returns [(raw_cf, (h, w)), ...].
+    """
+    from ..ops.common import detection_conv_cf
+
+    assert spec.variant == Variant.BAYESIAN
+    assert img.shape[0] == 1, "epistemic inference requires batch_size == 1"
+    out32, skip16, skip8, _ = darknet.darknet53(
+        params["backbone"], stats["backbone"], img,
+        training=False, compute_dtype=compute_dtype,
+    )
+
+    def one_sample(key):
+        feats, _ = _heads(
+            params, stats, out32, skip16, skip8,
+            spec=spec, training=False, dropout_active=True, rng=key,
+            compute_dtype=compute_dtype, return_features=True,
+        )
+        return tuple(f[0] for f in feats)
+
+    keys = jax.random.split(rng, T)
+    feats = jax.vmap(one_sample)(keys)  # 3 x (T, h, w, cfeat)
+    out = []
+    for head, f in enumerate(feats, start=1):
+        raw_cf = detection_conv_cf(
+            params[f"det{head}"], f, compute_dtype=compute_dtype
+        )
+        out.append((raw_cf, f.shape[1:3]))
+    return out
 
 
 @dataclasses.dataclass

@@ -133,6 +133,25 @@ def detection_conv(params: Dict, x, *, compute_dtype=jnp.float32):
     return y.astype(jnp.float32) + params["b"].astype(jnp.float32)
 
 
+def detection_conv_cf(params: Dict, feats, *, compute_dtype=jnp.float32):
+    """Channels-first detection head over stacked MC samples.
+
+    feats: (T, h, w, cin) -> (ch, T, h*w) float32.  The 1x1 conv becomes a
+    single MXU contraction whose output layout already matches the fused
+    Pallas epistemic decoder (anchors on the minor axis) — avoiding the
+    ~30 ms XLA transpose of the (T, hw, ch) tensor at ECP resolution.
+    """
+    t, h, w, cin = feats.shape
+    x = feats.reshape(t, h * w, cin).astype(compute_dtype)
+    kernel = params["w"].reshape(cin, -1).astype(compute_dtype)  # (cin, ch)
+    out = jax.lax.dot_general(
+        kernel, x,
+        dimension_numbers=(((0,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (ch, T, hw)
+    return out + params["b"].astype(jnp.float32)[:, None, None]
+
+
 def upsample2x(x):
     """Nearest-neighbor 2x upsample (layers.py:578-580) via reshape/broadcast."""
     n, h, w, c = x.shape

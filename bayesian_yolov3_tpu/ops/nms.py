@@ -80,21 +80,32 @@ def greedy_nms(
     return indices, count
 
 
-@partial(jax.jit, static_argnames=("max_out", "obj_idx"))
+@partial(jax.jit, static_argnames=("max_out", "obj_idx", "pre_top_k"))
 def nms_select(
     decoded: jnp.ndarray,
     obj_idx: int,
     max_out: int = 1000,
     iou_thresh: float = 0.5,
+    pre_top_k: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS over a flattened decoded tensor, scored by its objectness column.
 
     Mirrors the reference's ``nms`` helper (inference_epistemic.py:99-128):
     boxes are columns [0:4], score is ``decoded[:, obj_idx]``.
 
+    ``pre_top_k > 0`` restricts the greedy loop to the top-k anchors by
+    score — each of the max_out sequential steps then scans k lanes instead
+    of the full anchor set.  Exactness caveat: a selection differing from
+    full greedy NMS requires > (pre_top_k - max_out) higher-scored anchors
+    to be suppressed first, which cannot happen for realistic detections
+    with pre_top_k >= 8 * max_out.
+
     Returns (selected (max_out, width) with zero padding, valid (max_out,)
     bool, count).
     """
+    if pre_top_k and pre_top_k < decoded.shape[0]:
+        _, top_idx = jax.lax.top_k(decoded[:, obj_idx], pre_top_k)
+        decoded = decoded[top_idx]
     indices, count = greedy_nms(decoded[:, :4], decoded[:, obj_idx], max_out, iou_thresh)
     valid = indices >= 0
     rows = decoded[jnp.maximum(indices, 0)]

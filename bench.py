@@ -30,32 +30,46 @@ T = 30
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
-def build_pipeline(backend=None, compute_dtype="bfloat16"):
+def build_pipeline(backend=None, compute_dtype="bfloat16", use_pallas=True):
     import jax
     import jax.numpy as jnp
 
     from bayesian_yolov3_tpu.config import Config
     from bayesian_yolov3_tpu.core.priors import priors_as_array
-    from bayesian_yolov3_tpu.models.yolov3 import YoloV3
+    from bayesian_yolov3_tpu.models.yolov3 import YoloV3, mc_forward_cf
     from bayesian_yolov3_tpu.ops import decode, nms
+    from bayesian_yolov3_tpu.ops.pallas_epistemic import fused_epistemic_decode_cf
 
     cfg = Config(model="bayesian", full_img_size=IMG_SIZE, T=T,
                  inference_mode=True, compute_dtype=compute_dtype)
     model = YoloV3.from_config(cfg)
     pri = priors_as_array(model.priors)
+    obj_idx = model.spec.obj_idx(epistemic=True)
 
     def pipeline(params, stats, image, key):
-        raws = model.mc_forward(params, stats, image, T=T, rng=key)
-        decoded = []
-        for i, (raw, stride) in enumerate(zip(raws, (32, 16, 8))):
-            det = decode.split_detection(raw, model.spec)
-            st = decode.decode_epistemic_stats(det)
-            decoded.append(
-                decode.decode_bbox_epistemic(st, jnp.asarray(pri[stride]), layer_id=i)
-            )
+        if use_pallas:
+            outs = mc_forward_cf(params, stats, image, spec=model.spec, T=T,
+                                 rng=key, compute_dtype=model._dtype)
+            decoded = [
+                fused_epistemic_decode_cf(
+                    raw_cf, jnp.asarray(pri[stride]), h=hw[0], w=hw[1],
+                    cls_cnt=model.spec.cls_cnt, layer_id=i,
+                )
+                for i, ((raw_cf, hw), stride) in enumerate(zip(outs, (32, 16, 8)))
+            ]
+        else:
+            raws = model.mc_forward(params, stats, image, T=T, rng=key)
+            decoded = []
+            for i, (raw, stride) in enumerate(zip(raws, (32, 16, 8))):
+                det = decode.split_detection(raw, model.spec)
+                st = decode.decode_epistemic_stats(det)
+                decoded.append(
+                    decode.decode_bbox_epistemic(st, jnp.asarray(pri[stride]),
+                                                 layer_id=i)
+                )
         flat = decode.concat_all_scales(decoded)
-        return nms.nms_select(flat, obj_idx=model.spec.obj_idx(epistemic=True),
-                              max_out=1000)
+        return nms.nms_select(flat, obj_idx=obj_idx, max_out=1000,
+                              pre_top_k=8192 if use_pallas else 0)
 
     device = jax.devices(backend)[0] if backend else jax.devices()[0]
     params, stats = jax.device_put(model.init(jax.random.PRNGKey(0)), device)
@@ -70,21 +84,30 @@ def build_pipeline(backend=None, compute_dtype="bfloat16"):
 def time_pipeline(jitted, params, stats, img, iters, warmup=1):
     import jax
 
-    key = jax.random.PRNGKey(1)
+    # rbg keys: hardware-friendly PRNG for the 15 x T dropout masks
+    # (~12 ms/img cheaper than threefry at T=30 ECP resolution)
+    key = jax.random.key(1, impl="rbg")
+
+    def run(k):
+        rows, valid, count = jitted(params, stats, img, k)
+        # host transfer forces completion (block_until_ready returns early
+        # on the experimental axon platform)
+        return int(count)
+
     for i in range(warmup):
-        out = jitted(params, stats, img, jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+        run(jax.random.fold_in(key, i))
     t0 = time.time()
     for i in range(iters):
-        out = jitted(params, stats, img, jax.random.fold_in(key, 100 + i))
-        jax.block_until_ready(out)
+        run(jax.random.fold_in(key, 100 + i))
     dt = time.time() - t0
     return iters / dt
 
 
 def measure_cpu_baseline():
     """Reference-equivalent throughput on the host CPU (measured once)."""
-    jitted, params, stats, img = build_pipeline(backend="cpu", compute_dtype="float32")
+    jitted, params, stats, img = build_pipeline(
+        backend="cpu", compute_dtype="float32", use_pallas=False
+    )
     ips = time_pipeline(jitted, params, stats, img, iters=1, warmup=1)
     return ips
 

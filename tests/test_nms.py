@@ -72,3 +72,18 @@ def test_per_class_nms(rng):
         got = np.asarray(rows)[c * 50 : c * 50 + 50][np.asarray(valid)[c * 50 : c * 50 + 50]]
         assert len(got) == len(want)
         np.testing.assert_allclose(got[:, :4], boxes[member][want], rtol=1e-6)
+
+
+def test_pre_top_k_matches_full_nms(rng):
+    boxes, scores = _random_boxes(rng, 2000)
+    decoded = np.zeros((2000, 6), np.float32)
+    decoded[:, :4] = boxes
+    decoded[:, 4] = scores
+    full_rows, full_valid, full_count = nms.nms_select(
+        jnp.asarray(decoded), obj_idx=4, max_out=100
+    )
+    fast_rows, fast_valid, fast_count = nms.nms_select(
+        jnp.asarray(decoded), obj_idx=4, max_out=100, pre_top_k=800
+    )
+    assert int(full_count) == int(fast_count)
+    np.testing.assert_array_equal(np.asarray(full_rows), np.asarray(fast_rows))

@@ -1,0 +1,39 @@
+"""Pallas fused epistemic decode: parity vs the XLA reference path.
+
+Runs in interpreter mode on CPU (the kernel itself is exercised compiled
+on real TPU by bench.py / the inference runner).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesian_yolov3_tpu.core.blueprint import Variant, VariantSpec
+from bayesian_yolov3_tpu.ops import decode
+from bayesian_yolov3_tpu.ops.pallas_epistemic import fused_epistemic_decode
+
+C = 2
+PRIORS = np.array([[0.3, 0.1], [0.15, 0.05], [0.08, 0.02]], np.float32)
+
+
+@pytest.mark.parametrize("h,w,T", [(2, 3, 4), (4, 8, 7)])
+def test_fused_epistemic_decode_matches_xla_path(rng, h, w, T):
+    spec = VariantSpec(Variant.BAYESIAN, C)
+    raw = rng.standard_normal((T, h, w, 3 * spec.head_channels_per_prior)).astype(np.float32)
+
+    det = decode.split_detection(jnp.asarray(raw), spec)
+    stats = decode.decode_epistemic_stats(det)
+    want = np.asarray(decode.decode_bbox_epistemic(stats, jnp.asarray(PRIORS), layer_id=1))
+
+    got = np.asarray(
+        fused_epistemic_decode(
+            jnp.asarray(raw), jnp.asarray(PRIORS), cls_cnt=C, layer_id=1,
+            interpret=True,
+        )
+    )
+    assert got.shape == want.shape == (h, w, 3, 21 + C)
+    # det of covariance is the most cancellation-prone column (12)
+    np.testing.assert_allclose(got[..., :12], want[..., :12], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got[..., 12], want[..., 12], rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(got[..., 13:], want[..., 13:], rtol=1e-4, atol=2e-4)
