@@ -70,6 +70,13 @@ def parse_example(
     return out
 
 
+def zero_center(img):
+    """[0,1) -> [-1,1) (parity dataset_utils.zero_center :66-68 — present in
+    the reference but not wired into any pipeline; kept for API parity).
+    The networks consume [0,1) images (reference detect.py:77)."""
+    return 2.0 * (img - 0.5)
+
+
 def _pad(parsed: Dict, max_boxes: int) -> Dict:
     m = min(len(parsed["bbox"]), max_boxes)
     bbox = np.zeros((max_boxes, 4), np.float32)

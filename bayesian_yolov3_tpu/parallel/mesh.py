@@ -25,6 +25,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(**kwargs):
+    """Multi-host bring-up: ``jax.distributed.initialize`` wrapper.
+
+    Call once per host before building meshes; afterwards ``jax.devices()``
+    spans all hosts, intra-slice collectives ride ICI and cross-slice
+    traffic rides DCN.  No-ops when already initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:  # already initialized / no coordinator
+        import logging
+
+        logging.getLogger("byolo.mesh").info("distributed init skipped: %s", e)
+
+
 def make_mesh(
     shape: Optional[Dict[str, int]] = None, devices: Optional[Sequence] = None
 ) -> Mesh:

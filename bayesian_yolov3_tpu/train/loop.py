@@ -43,6 +43,7 @@ from ..data import pipeline
 from ..models.yolov3 import YoloV3
 from ..ops import decode, loss as loss_ops
 from ..parallel import mesh as mesh_lib
+from ..utils.profiling import StepTimer
 from .checkpoints import CheckpointStore
 
 log = logging.getLogger("byolo.train")
@@ -221,10 +222,12 @@ class Trainer:
             log.info("checkpoint saved at step %d", step_)
 
         key = jax.random.fold_in(self.rng, 7)
+        timer = StepTimer(window=100)
         try:
             t0 = time.time()
             while step < cfg.train_steps:
                 step += 1
+                timer.tick()
                 batch = self._place_batch(next(train_it))
                 state, metrics = self._jit_train(state, batch, key)
                 tloss = float(metrics["total"])
@@ -240,6 +243,7 @@ class Trainer:
                     self._log_metrics(mfile, "val", step, vmetrics, None)
                 if step % cfg.checkpoint_interval == 0:
                     save(step)
+                    timer.write(os.path.join(self.store.dir, "step_timing.jsonl"))
         except KeyboardInterrupt:
             log.warning("interrupted at step %d — saving checkpoint", step)
             save(step)
