@@ -128,6 +128,35 @@ class InferenceRunner:
                 pre_top_k=cfg.nms_pre_top_k,
             )
             return rows[None], valid[None]
+        if self._use_fused_kernels():
+            from ..models.yolov3 import forward_cf
+            from ..ops.pallas_decode import fused_box_decode_cf
+
+            outs = forward_cf(
+                params, stats, imgs, spec=self.spec, rng=rng,
+                standard_test_dropout=self.config.standard_test_dropout,
+                compute_dtype=self.model._dtype,
+            )
+            flat = jnp.concatenate(
+                [
+                    fused_box_decode_cf(
+                        raw_cf, jnp.asarray(self._priors[stride]),
+                        h=hw[0], w=hw[1], cls_cnt=self.spec.cls_cnt,
+                        layer_id=i, aleatoric=self.spec.aleatoric_head,
+                    )
+                    for i, ((raw_cf, hw), stride) in enumerate(zip(outs, (32, 16, 8)))
+                ],
+                axis=1,
+            )  # (batch, N_total, width), reference concat order
+
+            def per_row(flat_one):
+                return nms.nms_select(
+                    flat_one, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
+                    pre_top_k=cfg.nms_pre_top_k,
+                )[:2]
+
+            return jax.vmap(per_row)(flat)
+
         raws, _ = self.model.forward(params, stats, imgs, training=False, rng=rng)
         decoded = self._decode_scales(raws, epistemic=False)
 
@@ -154,6 +183,20 @@ class InferenceRunner:
         worker: Optional[threading.Thread] = None
         n = 0
         start = time.time()
+        inflight = None  # (device rows, device valid, bsz, names)
+
+        def drain(entry):
+            nonlocal worker
+            rows_d, valid_d, bsz, names = entry
+            rows = np.asarray(rows_d)[:bsz]
+            valid = np.asarray(valid_d)[:bsz]
+            if worker:
+                worker.join()
+            worker = threading.Thread(
+                target=self._write_batch, args=(rows, valid, names, out_dir)
+            )
+            worker.start()
+
         for batch in loader.batches():
             bsz = batch["image"].shape[0]
             images = batch["image"]
@@ -161,19 +204,18 @@ class InferenceRunner:
                 pad = np.repeat(images[-1:], batch_size - bsz, axis=0)
                 images = np.concatenate([images, pad], axis=0)
             key = jax.random.fold_in(self.rng, n)
-            rows, valid = self._jit(params, stats, jnp.asarray(images), key)
-            rows = np.asarray(rows)[:bsz]
-            valid = np.asarray(valid)[:bsz]
-            if worker:
-                worker.join()
+            # double-buffer: dispatch this batch BEFORE fetching the
+            # previous one, hiding the device->host round-trip latency
+            rows_d, valid_d = self._jit(params, stats, jnp.asarray(images), key)
             names = [f.decode() if isinstance(f, bytes) else f for f in batch["filename"]]
-            worker = threading.Thread(
-                target=self._write_batch, args=(rows, valid, names, out_dir)
-            )
-            worker.start()
+            if inflight is not None:
+                drain(inflight)
+            inflight = (rows_d, valid_d, bsz, names)
             n += bsz
             if n % 15 == 0:
                 log.info("Processed %d images.", n)
+        if inflight is not None:
+            drain(inflight)
         if worker:
             worker.join()
         elapsed = time.time() - start

@@ -259,6 +259,42 @@ def mc_forward_cf(
     return out
 
 
+def forward_cf(
+    params: Dict,
+    stats: Dict,
+    imgs,
+    *,
+    spec: VariantSpec,
+    rng=None,
+    standard_test_dropout: bool = False,
+    compute_dtype=jnp.float32,
+):
+    """Batched inference forward emitting CHANNELS-FIRST raw heads.
+
+    Standard/aleatoric inference counterpart of ``mc_forward_cf``: the 1x1
+    detection convs run as channels-first contractions over the batch,
+    feeding ops.pallas_decode.fused_box_decode_cf without a relayout.
+    Returns [(raw_cf (ch, batch, h*w), (h, w)), ...].
+    """
+    from ..ops.common import detection_conv_cf
+
+    out32, skip16, skip8, _ = darknet.darknet53(
+        params["backbone"], stats["backbone"], imgs,
+        training=False, compute_dtype=compute_dtype,
+    )
+    dropout_active = spec.mc_dropout and not standard_test_dropout
+    feats, _ = _heads(
+        params, stats, out32, skip16, skip8,
+        spec=spec, training=False, dropout_active=dropout_active, rng=rng,
+        compute_dtype=compute_dtype, return_features=True,
+    )
+    out = []
+    for head, f in enumerate(feats, start=1):
+        raw_cf = detection_conv_cf(params[f"det{head}"], f, compute_dtype=compute_dtype)
+        out.append((raw_cf, f.shape[1:3]))
+    return out
+
+
 @dataclasses.dataclass
 class YoloV3:
     """Convenience holder mirroring the reference's per-variant classes

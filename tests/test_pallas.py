@@ -37,3 +37,36 @@ def test_fused_epistemic_decode_matches_xla_path(rng, h, w, T):
     np.testing.assert_allclose(got[..., :12], want[..., :12], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(got[..., 12], want[..., 12], rtol=1e-3, atol=1e-6)
     np.testing.assert_allclose(got[..., 13:], want[..., 13:], rtol=1e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("aleatoric", [True, False])
+def test_fused_box_decode_matches_xla_path(rng, aleatoric):
+    from bayesian_yolov3_tpu.ops.pallas_decode import fused_box_decode_cf
+
+    variant = Variant.ALEATORIC if aleatoric else Variant.STANDARD
+    spec = VariantSpec(variant, C)
+    nb, h, w = 2, 4, 8
+    chpp = spec.head_channels_per_prior
+    raw = rng.standard_normal((nb, h, w, 3 * chpp)).astype(np.float32)
+
+    det = decode.split_detection(jnp.asarray(raw), spec)
+    if aleatoric:
+        ref = decode.decode_bbox_aleatoric(det, jnp.asarray(PRIORS), layer_id=1)
+    else:
+        ref = decode.decode_bbox_standard(det, jnp.asarray(PRIORS))
+    # per-element flatten in reference concat order: (nb, B*hw, width)
+    want = np.stack([
+        np.asarray(ref[b]).transpose(2, 0, 1, 3).reshape(3 * h * w, -1)
+        for b in range(nb)
+    ])
+
+    # channels-first input: (ch, nb, hw)
+    raw_cf = jnp.asarray(raw.reshape(nb, h * w, 3 * chpp).transpose(2, 0, 1))
+    got = np.asarray(
+        fused_box_decode_cf(
+            raw_cf, jnp.asarray(PRIORS), h=h, w=w, cls_cnt=C, layer_id=1,
+            aleatoric=aleatoric, interpret=True,
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
