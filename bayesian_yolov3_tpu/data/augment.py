@@ -64,9 +64,18 @@ def hsv_to_rgb(img):
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    def pick(c0, c1, c2, c3, c4, c5):
+        # select chain instead of jnp.choose: choose lowers to per-element
+        # gathers, ~15x slower on the VPU at image sizes
+        out = c5
+        for idx, c in ((4, c4), (3, c3), (2, c2), (1, c1), (0, c0)):
+            out = jnp.where(i == idx, c, out)
+        return out
+
+    r = pick(v, q, p, p, t, v)
+    g = pick(t, v, v, q, p, p)
+    b = pick(p, p, t, v, v, q)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -85,14 +94,19 @@ def flip_lr(img, bbox):
 
 
 def _box_blur(img, k: int):
-    """Depthwise k x k box filter, SAME padding (:110-126)."""
-    kernel = jnp.ones((k, k, 1, 1), img.dtype) / (k * k)
-    x = jnp.transpose(img, (2, 0, 1))[:, None]  # (C,1,H,W)
-    y = jax.lax.conv_general_dilated(
-        x, kernel, (1, 1), "SAME", dimension_numbers=("NCHW", "HWIO", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return jnp.transpose(y[:, 0], (1, 2, 0))
+    """Depthwise k x k box filter, SAME zero padding (:110-126).
+
+    Implemented as k^2 shift-adds (pure VPU) — a conv with a single input
+    channel wastes the whole MXU contraction dimension."""
+    h, w, _ = img.shape
+    lo, hi = (k - 1) // 2, k // 2  # TF 'SAME' padding split
+    x = jnp.pad(img, ((lo, hi), (lo, hi), (0, 0)))
+    acc = None
+    for dy in range(k):
+        for dx in range(k):
+            window = x[dy : dy + h, dx : dx + w]
+            acc = window if acc is None else acc + window
+    return acc / float(k * k)
 
 
 def blur(img, key):
@@ -101,28 +115,29 @@ def blur(img, key):
 
 
 def color_augment(img, key):
-    """One of saturation [0.5,1.5] / brightness +-0.2 / hue +-0.2 (:38-54)."""
+    """One of saturation [0.5,1.5] / brightness +-0.2 / hue +-0.2 (:38-54).
+
+    Under a vmapped pipeline every branch executes (lax control flow
+    becomes select), so the saturation and hue branches share a single
+    rgb->hsv->rgb round trip with their adjustments gated by the choice.
+    """
     kc, ks, kb, kh = jax.random.split(key, 4)
     choice = jax.random.randint(kc, (), 0, 3)
 
-    def saturation(x):
-        factor = jax.random.uniform(ks, (), minval=0.5, maxval=1.5)
-        hsv = rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
-        hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * factor, 0.0, 1.0))
-        return hsv_to_rgb(hsv)
+    factor = jnp.where(
+        choice == 0, jax.random.uniform(ks, (), minval=0.5, maxval=1.5), 1.0
+    )
+    hue_delta = jnp.where(
+        choice == 2, jax.random.uniform(kh, (), minval=-0.2, maxval=0.2), 0.0
+    )
+    hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * factor, 0.0, 1.0))
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + hue_delta) % 1.0)
+    via_hsv = hsv_to_rgb(hsv)
 
-    def brightness(x):
-        # tf.image.adjust_brightness adds the delta without clipping
-        delta = jax.random.uniform(kb, (), minval=-0.2, maxval=0.2)
-        return x + delta
-
-    def hue(x):
-        delta = jax.random.uniform(kh, (), minval=-0.2, maxval=0.2)
-        hsv = rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
-        hsv = hsv.at[..., 0].set((hsv[..., 0] + delta) % 1.0)
-        return hsv_to_rgb(hsv)
-
-    return jax.lax.switch(choice, [saturation, brightness, hue], img)
+    # tf.image.adjust_brightness adds the delta without clipping
+    bright = img + jax.random.uniform(kb, (), minval=-0.2, maxval=0.2)
+    return jnp.where(choice == 1, bright, via_hsv)
 
 
 def noise_augment(img, key):

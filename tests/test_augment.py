@@ -114,3 +114,19 @@ def test_rescale_window_resample_identity(rng):
         img, jnp.asarray(0), jnp.asarray(0), jnp.asarray(16), jnp.asarray(24), (16, 24)
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), rtol=1e-5, atol=1e-6)
+
+
+def test_box_blur_matches_tf_conv(rng):
+    tf = pytest.importorskip("tensorflow")
+    img = np.asarray(_img(rng, 9, 11))
+    for k in (2, 3):
+        got = np.asarray(augment._box_blur(jnp.asarray(img), k))
+        kernel = np.ones((k, k, 1, 1), np.float32) / (k * k)
+        want = np.concatenate(
+            [
+                tf.nn.conv2d(img[None, ..., c : c + 1], kernel, 1, "SAME").numpy()[0]
+                for c in range(3)
+            ],
+            axis=-1,
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,90 @@
+"""MC-dropout parity: exact-parity mode with injected fixed masks, plus
+statistical sanity of the epistemic estimates (SURVEY §7 'hard parts':
+RNG streams differ from TF, so parity is defined (a) exactly under
+injected masks and (b) statistically over T samples)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesian_yolov3_tpu.core.blueprint import Variant, VariantSpec
+from bayesian_yolov3_tpu.core.priors import ECP_9_PRIORS
+from bayesian_yolov3_tpu.models import yolov3
+from bayesian_yolov3_tpu.ops import common, decode
+
+IMG = (64, 96, 3)
+
+
+def _model():
+    return yolov3.YoloV3(
+        spec=VariantSpec(Variant.BAYESIAN, 2), priors=ECP_9_PRIORS, img_size=IMG
+    )
+
+
+def test_exact_parity_with_injected_masks(monkeypatch):
+    """With dropout masks forced to all-ones (keep everything), the bayesian
+    T-sample forward must equal the deterministic no-dropout forward scaled
+    consistently — i.e. every sample identical and equal to the
+    standard_test_dropout path up to the 1/keep_prob factor structure."""
+    m = _model()
+    params, stats = m.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (1, *IMG)).astype(np.float32)
+    )
+
+    real_dropout = common.dropout
+
+    def keep_all_dropout(x, rate, rng):
+        # inject a fixed mask of ones: output = x / keep (inverted dropout)
+        return x / (1.0 - rate)
+
+    monkeypatch.setattr(common, "dropout", keep_all_dropout)
+    raws = m.mc_forward(params, stats, img, T=3, rng=jax.random.PRNGKey(1))
+    monkeypatch.setattr(common, "dropout", real_dropout)
+
+    # all samples identical under a fixed mask
+    for r in raws:
+        np.testing.assert_array_equal(np.asarray(r[0]), np.asarray(r[1]))
+        np.testing.assert_array_equal(np.asarray(r[1]), np.asarray(r[2]))
+
+    # and reproducible: the injected-mask forward is pure
+    monkeypatch.setattr(common, "dropout", keep_all_dropout)
+    raws2 = m.mc_forward(params, stats, img, T=3, rng=jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(raws[0]), np.asarray(raws2[0]))
+
+
+def test_dropout_mask_statistics(rng):
+    """Inverted-dropout contract: E[out] = x, zeros fraction ~ rate."""
+    x = jnp.ones((64, 64), jnp.float32)
+    out = np.asarray(common.dropout(x, 0.1, jax.random.PRNGKey(0)))
+    zero_frac = (out == 0).mean()
+    assert 0.05 < zero_frac < 0.15
+    np.testing.assert_allclose(out[out != 0], 1.0 / 0.9, rtol=1e-6)
+    np.testing.assert_allclose(out.mean(), 1.0, atol=0.02)
+
+
+def test_epistemic_variance_positive_and_vanishes_without_dropout():
+    """Statistical parity: MC sampling yields positive epistemic variance;
+    with dropout disabled the epistemic covariance collapses to ~0."""
+    m = _model()
+    params, stats = m.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (1, *IMG)).astype(np.float32)
+    )
+    raws = m.mc_forward(params, stats, img, T=8, rng=jax.random.PRNGKey(2))
+    det = decode.split_detection(raws[0], m.spec)
+    st = decode.decode_epistemic_stats(det)
+    epi = np.asarray(jnp.diagonal(st["epi_covar_loc"], axis1=-2, axis2=-1))
+    assert epi.mean() > 1e-8  # dropout induces spread
+
+    # same T samples but deterministic (standard_test_dropout): zero spread
+    raw_det, _ = m.forward(
+        params, stats, img, rng=jax.random.PRNGKey(3), standard_test_dropout=True
+    )
+    det2 = decode.split_detection(
+        jnp.repeat(raw_det[0], 8, axis=0), m.spec
+    )
+    st2 = decode.decode_epistemic_stats(det2)
+    epi2 = np.asarray(jnp.diagonal(st2["epi_covar_loc"], axis1=-2, axis2=-1))
+    np.testing.assert_allclose(epi2, 0.0, atol=1e-5)
