@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 from .core.blueprint import ModelBlueprint, Variant, VariantSpec
 from .core.priors import PRIOR_SETS, PriorSet, scale_priors_for_crop

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Dict, List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 from .priors import Prior, PriorSet, STRIDES
 

@@ -27,7 +27,7 @@ import logging
 import os
 import pickle
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -29,7 +29,7 @@ shapes, jit/vmap-friendly, runs on host CPU or device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ per stride, largest first).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Tuple
 
 import numpy as np
 

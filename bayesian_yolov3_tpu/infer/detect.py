@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..core.blueprint import Variant
 from .ecp import DEFAULT_CLS_NAMES
 from .runner import InferenceRunner
 

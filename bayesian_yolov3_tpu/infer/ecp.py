@@ -23,11 +23,11 @@ Documented quirk fixes (the reference reads wrong columns):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
-from ..core.blueprint import Variant, VariantSpec
+from ..core.blueprint import VariantSpec
 
 DEFAULT_CLS_NAMES = {1: "pedestrian", 2: "rider"}  # ECP (reference :133-136)
 

@@ -13,8 +13,6 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-from typing import Optional
-
 import numpy as np
 
 from ..config import Config

@@ -24,7 +24,7 @@ import logging
 import os
 import threading
 import time
-from typing import Dict, Iterator, List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,6 @@ from ..core.priors import priors_as_array
 from ..data import pipeline
 from ..models.yolov3 import YoloV3
 from ..ops import decode, nms
-from ..parallel import mesh as mesh_lib
 from ..train.checkpoints import CheckpointStore
 from ..train.loop import merge_params, partition_params
 from .ecp import bbox_to_ecp_format

@@ -26,7 +26,7 @@ All math runs in float32 regardless of the conv compute dtype.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

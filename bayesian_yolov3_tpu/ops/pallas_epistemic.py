@@ -24,7 +24,6 @@ everything accumulates in float32.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

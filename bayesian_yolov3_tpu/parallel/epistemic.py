@@ -12,10 +12,7 @@ an ICI all-reduce.
 
 from __future__ import annotations
 
-from typing import List
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import yolov3 as yolo_lib

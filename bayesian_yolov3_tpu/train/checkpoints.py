@@ -14,8 +14,6 @@ import datetime
 import os
 from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

@@ -28,7 +28,7 @@ import json
 import logging
 import os
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,6 @@ import numpy as np
 import optax
 
 from ..config import Config
-from ..core.blueprint import Variant
 from ..data import augment as aug
 from ..data import encode
 from ..data import pipeline

@@ -6,7 +6,6 @@ and aleatoric variances, mutual information, and entropies.
 """
 
 import logging
-import os
 import time
 
 from _common import build_config, setup_logging
