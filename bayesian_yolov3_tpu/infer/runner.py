@@ -103,24 +103,40 @@ class InferenceRunner:
         obj_idx = self.spec.obj_idx(self.epistemic)
         if self.epistemic:
             if self._use_fused_kernels():
-                # channels-first heads + fused Pallas epistemic decode
+                # channels-first heads + fused Pallas epistemic decode;
+                # image batches > 1 supported (anchor-axis folding) — a
+                # framework extension over the reference's batch-1 limit
                 from ..models.yolov3 import mc_forward_cf
-                from ..ops.pallas_epistemic import fused_epistemic_decode_cf
+                from ..ops.pallas_epistemic import fused_epistemic_decode_cf_batched
 
+                nb = imgs.shape[0]
                 outs = mc_forward_cf(
                     params, stats, imgs, spec=self.spec, T=cfg.T, rng=rng,
                     compute_dtype=self.model._dtype,
                 )
-                decoded = [
-                    fused_epistemic_decode_cf(
-                        raw_cf, jnp.asarray(self._priors[stride]),
-                        h=hw[0], w=hw[1], cls_cnt=self.spec.cls_cnt, layer_id=i,
-                    )
-                    for i, ((raw_cf, hw), stride) in enumerate(zip(outs, (32, 16, 8)))
-                ]
-            else:
-                raws = self.model.mc_forward(params, stats, imgs, T=cfg.T, rng=rng)
-                decoded = self._decode_scales(raws, epistemic=True)
+                flat = jnp.concatenate(
+                    [
+                        fused_epistemic_decode_cf_batched(
+                            raw_cf, jnp.asarray(self._priors[stride]),
+                            n_imgs=nb, h=hw[0], w=hw[1],
+                            cls_cnt=self.spec.cls_cnt, layer_id=i,
+                        )
+                        for i, ((raw_cf, hw), stride) in enumerate(
+                            zip(outs, (32, 16, 8))
+                        )
+                    ],
+                    axis=1,
+                )  # (nb, N_total, width)
+
+                def per_img(flat_one):
+                    return nms.nms_select(
+                        flat_one, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
+                        pre_top_k=cfg.nms_pre_top_k,
+                    )[:2]
+
+                return jax.vmap(per_img)(flat)
+            raws = self.model.mc_forward(params, stats, imgs, T=cfg.T, rng=rng)
+            decoded = self._decode_scales(raws, epistemic=True)
             flat = decode.concat_all_scales(decoded)
             rows, valid, _ = nms.nms_select(
                 flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
@@ -177,7 +193,12 @@ class InferenceRunner:
         out_dir = f"{out_path or cfg.out_path}_{step}"
         os.makedirs(out_dir)  # parity: refuses to overwrite (:43)
 
-        batch_size = 1 if self.epistemic else cfg.batch_size
+        # epistemic batches > 1 need the fused anchor-folding path; the XLA
+        # fallback keeps the reference's batch-1 contract
+        if self.epistemic and not self._use_fused_kernels():
+            batch_size = 1
+        else:
+            batch_size = cfg.batch_size
         loader = pipeline.TestLoader(cfg, batch_size=batch_size)
         worker: Optional[threading.Thread] = None
         n = 0

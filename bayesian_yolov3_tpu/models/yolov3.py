@@ -227,14 +227,21 @@ def mc_forward_cf(
 
     Like ``mc_forward`` but the 1x1 detection convs are applied as one
     channels-first MXU contraction over the stacked samples
-    (ops.common.detection_conv_cf), yielding (ch, T, h*w) f32 per scale —
-    the native input layout of the fused Pallas epistemic decoder, with no
-    relayout transpose in between.  Returns [(raw_cf, (h, w)), ...].
+    (ops.common.detection_conv_cf), yielding (ch, T, NB*h*w) f32 per
+    scale — the native input layout of the fused Pallas epistemic decoder,
+    with no relayout transpose in between.
+
+    Unlike the reference (batch 1 enforced by its stacked-batch graph,
+    inference_epistemic.py:193,213), an image batch NB >= 1 is supported:
+    the batch folds onto the anchor axis, with per-image epistemic
+    statistics computed downstream.  Dropout masks are drawn per
+    (sample, image, position), so every image sees independent MC noise.
+
+    Returns [(raw_cf (ch, T, NB*h*w), (h, w)), ...].
     """
     from ..ops.common import detection_conv_cf
 
     assert spec.variant == Variant.BAYESIAN
-    assert img.shape[0] == 1, "epistemic inference requires batch_size == 1"
     out32, skip16, skip8, _ = darknet.darknet53(
         params["backbone"], stats["backbone"], img,
         training=False, compute_dtype=compute_dtype,
@@ -246,16 +253,16 @@ def mc_forward_cf(
             spec=spec, training=False, dropout_active=True, rng=key,
             compute_dtype=compute_dtype, return_features=True,
         )
-        return tuple(f[0] for f in feats)
+        return feats
 
     keys = jax.random.split(rng, T)
-    feats = jax.vmap(one_sample)(keys)  # 3 x (T, h, w, cfeat)
+    feats = jax.vmap(one_sample)(keys)  # 3 x (T, NB, h, w, cfeat)
     out = []
     for head, f in enumerate(feats, start=1):
         raw_cf = detection_conv_cf(
             params[f"det{head}"], f, compute_dtype=compute_dtype
         )
-        out.append((raw_cf, f.shape[1:3]))
+        out.append((raw_cf, f.shape[2:4]))
     return out
 
 

@@ -136,13 +136,14 @@ def detection_conv(params: Dict, x, *, compute_dtype=jnp.float32):
 def detection_conv_cf(params: Dict, feats, *, compute_dtype=jnp.float32):
     """Channels-first detection head over stacked MC samples.
 
-    feats: (T, h, w, cin) -> (ch, T, h*w) float32.  The 1x1 conv becomes a
-    single MXU contraction whose output layout already matches the fused
-    Pallas epistemic decoder (anchors on the minor axis) — avoiding the
+    feats: (T, ..., cin) -> (ch, T, prod(...)) float32 (middle dims — e.g.
+    image batch x h x w — flatten onto the anchor axis).  The 1x1 conv
+    becomes a single MXU contraction whose output layout already matches
+    the fused Pallas decoders (anchors on the minor axis) — avoiding the
     ~30 ms XLA transpose of the (T, hw, ch) tensor at ECP resolution.
     """
-    t, h, w, cin = feats.shape
-    x = feats.reshape(t, h * w, cin).astype(compute_dtype)
+    t, *mid, cin = feats.shape
+    x = feats.reshape(t, int(np.prod(mid)), cin).astype(compute_dtype)
     kernel = params["w"].reshape(cin, -1).astype(compute_dtype)  # (cin, ch)
     out = jax.lax.dot_general(
         kernel, x,

@@ -213,3 +213,59 @@ def fused_epistemic_decode_cf(
     x = raw_cf.reshape(B, ch // B, T, hw).astype(jnp.float32)
     return _run(x, h, w, priors_hw, cls_cnt=cls_cnt, layer_id=layer_id,
                 interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_imgs", "h", "w", "cls_cnt", "layer_id", "interpret"),
+)
+def fused_epistemic_decode_cf_batched(
+    raw_cf, priors_hw, *, n_imgs: int, h: int, w: int, cls_cnt: int,
+    layer_id: int, interpret: bool = False
+):
+    """Image-batched epistemic decode: raw_cf (B*chpp, T, NB*hw) ->
+    (NB, B*hw, width), rows in the reference's concat_bbox order per image.
+
+    The image batch lives on the anchor (lane) axis; the kernel is
+    identical — every statistic is per-anchor, and the grid offsets are
+    tiled per image.  This is the framework extension lifting the
+    reference's epistemic batch-1 limit (inference_epistemic.py:193)."""
+    ch, T, total = raw_cf.shape
+    B = priors_hw.shape[0]
+    hw = h * w
+    assert total == n_imgs * hw
+    C = cls_cnt
+    width = 21 + C
+    x = raw_cf.reshape(B, ch // B, T, total).astype(jnp.float32)
+
+    ys = jnp.tile(
+        jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(1, hw), (1, n_imgs)
+    )
+    xs = jnp.tile(
+        jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(1, hw), (1, n_imgs)
+    )
+
+    tile = _pick_tile(total)
+    grid = (B, total // tile)
+    chpp = ch // B
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, T=T, C=C, lw=float(w), lh=float(h), layer_id=layer_id
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, chpp, T, tile), lambda b, t: (b, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda b, t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda b, t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 2), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, width, tile), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, width, total), jnp.float32),
+        interpret=interpret,
+    )(x, xs, ys, priors_hw.astype(jnp.float32))
+
+    # (B, width, NB*hw) -> (NB, B*hw, width)
+    out = out.reshape(B, width, n_imgs, hw)
+    return out.transpose(2, 0, 3, 1).reshape(n_imgs, B * hw, width)

@@ -70,3 +70,36 @@ def test_fused_box_decode_matches_xla_path(rng, aleatoric):
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_batched_epistemic_decode_matches_per_image(rng):
+    from bayesian_yolov3_tpu.ops.pallas_epistemic import (
+        fused_epistemic_decode_cf_batched,
+    )
+
+    spec = VariantSpec(Variant.BAYESIAN, C)
+    T, nb, h, w = 5, 3, 2, 4
+    chpp = spec.head_channels_per_prior
+    # channels-first raws, anchors image-major: (ch, T, nb*hw)
+    raw = rng.standard_normal((3 * chpp, T, nb * h * w)).astype(np.float32)
+
+    got = np.asarray(
+        fused_epistemic_decode_cf_batched(
+            jnp.asarray(raw), jnp.asarray(PRIORS), n_imgs=nb, h=h, w=w,
+            cls_cnt=C, layer_id=0, interpret=True,
+        )
+    )
+    assert got.shape == (nb, 3 * h * w, 21 + C)
+
+    for b in range(nb):
+        # slice image b's anchors out of the folded axis and run the
+        # reference XLA path on them
+        raw_b = raw[:, :, b * h * w : (b + 1) * h * w]  # (ch, T, hw)
+        raw_thwc = raw_b.transpose(1, 2, 0).reshape(T, h, w, 3 * chpp)
+        det = decode.split_detection(jnp.asarray(raw_thwc), spec)
+        stats = decode.decode_epistemic_stats(det)
+        ref = decode.decode_bbox_epistemic(stats, jnp.asarray(PRIORS), layer_id=0)
+        want = np.asarray(ref).transpose(2, 0, 1, 3).reshape(3 * h * w, 21 + C)
+        np.testing.assert_allclose(got[b, :, :12], want[:, :12], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(got[b, :, 12], want[:, 12], rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(got[b, :, 13:], want[:, 13:], rtol=1e-4, atol=2e-4)
