@@ -55,6 +55,17 @@ class InferenceRunner:
         # rbg: cheap on-TPU random bits for the MC-dropout masks
         self.rng = jax.random.key(seed, impl="rbg")
         self._priors = priors_as_array(self.model.priors)
+        # multi-chip MC-sample parallelism: config.mesh_shape={'mc': N}
+        # shards the T dropout samples over N devices (SURVEY §2.9's
+        # north-star axis); single-device otherwise
+        self.mesh = None
+        if self.epistemic and config.mesh_shape.get("mc", 0) > 1:
+            from ..parallel import mesh as mesh_lib
+
+            self.mesh = mesh_lib.make_mesh({"mc": config.mesh_shape["mc"]})
+            assert config.T % config.mesh_shape["mc"] == 0, (
+                "T must divide evenly over the mc axis"
+            )
         self._jit = jax.jit(self._device_pipeline)
 
     # -- checkpoint handling -------------------------------------------
@@ -102,6 +113,24 @@ class InferenceRunner:
         cfg = self.config
         obj_idx = self.spec.obj_idx(self.epistemic)
         if self.epistemic:
+            if self.mesh is not None:
+                # T sharded over the 'mc' mesh axis; the epistemic
+                # reduction compiles to an ICI all-reduce (XLA decode path —
+                # GSPMD partitions it; the Pallas kernel is single-device)
+                from ..parallel.epistemic import make_mc_sharded_forward
+
+                if not hasattr(self, "_mc_sharded"):
+                    self._mc_sharded = make_mc_sharded_forward(
+                        self.model, self.mesh, T=cfg.T
+                    )
+                raws = self._mc_sharded(params, stats, imgs, rng)
+                decoded = self._decode_scales(raws, epistemic=True)
+                flat = decode.concat_all_scales(decoded)
+                rows, valid, _ = nms.nms_select(
+                    flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
+                    pre_top_k=cfg.nms_pre_top_k,
+                )
+                return rows[None], valid[None]
             if self._use_fused_kernels():
                 # channels-first heads + fused Pallas epistemic decode;
                 # image batches > 1 supported (anchor-axis folding) — a
@@ -194,8 +223,9 @@ class InferenceRunner:
         os.makedirs(out_dir)  # parity: refuses to overwrite (:43)
 
         # epistemic batches > 1 need the fused anchor-folding path; the XLA
-        # fallback keeps the reference's batch-1 contract
-        if self.epistemic and not self._use_fused_kernels():
+        # fallback and the mc-sharded path keep the reference's batch-1
+        # contract
+        if self.epistemic and (self.mesh is not None or not self._use_fused_kernels()):
             batch_size = 1
         else:
             batch_size = cfg.batch_size

@@ -175,9 +175,9 @@ class Trainer:
         self.metrics_path = os.path.join(self.store.dir, "metrics.jsonl")
         self.mesh = None
         ndev = len(jax.devices())
-        if config.mesh_shape:
-            self.mesh = mesh_lib.make_mesh(config.mesh_shape)
-        elif ndev > 1 and config.batch_size % ndev == 0:
+        if config.mesh_shape.get("data", 0) > 1:
+            self.mesh = mesh_lib.make_mesh({"data": config.mesh_shape["data"]})
+        elif not config.mesh_shape and ndev > 1 and config.batch_size % ndev == 0:
             self.mesh = mesh_lib.make_mesh({"data": ndev})
         self._jit_train = jax.jit(self.train_step_fn, donate_argnums=(0,))
         self._jit_eval = jax.jit(self.eval_step_fn)
