@@ -129,6 +129,7 @@ class InferenceRunner:
                 rows, valid, _ = nms.nms_select(
                     flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
                     pre_top_k=cfg.nms_pre_top_k,
+                    use_pallas=self._use_fused_kernels(),
                 )
                 return rows[None], valid[None]
             if self._use_fused_kernels():
@@ -157,6 +158,14 @@ class InferenceRunner:
                     axis=1,
                 )  # (nb, N_total, width)
 
+                if nb == 1:  # common case: Pallas NMS (not vmappable)
+                    rows, valid, _ = nms.nms_select(
+                        flat[0], obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
+                        pre_top_k=cfg.nms_pre_top_k,
+                        use_pallas=self._use_fused_kernels(),
+                    )
+                    return rows[None], valid[None]
+
                 def per_img(flat_one):
                     return nms.nms_select(
                         flat_one, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
@@ -170,6 +179,7 @@ class InferenceRunner:
             rows, valid, _ = nms.nms_select(
                 flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
                 pre_top_k=cfg.nms_pre_top_k,
+                use_pallas=self._use_fused_kernels(),
             )
             return rows[None], valid[None]
         if self._use_fused_kernels():
@@ -197,6 +207,7 @@ class InferenceRunner:
                 return nms.nms_select(
                     flat_one, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
                     pre_top_k=cfg.nms_pre_top_k,
+                    use_pallas=self._use_fused_kernels(),
                 )[:2]
 
             return jax.vmap(per_row)(flat)
@@ -209,6 +220,7 @@ class InferenceRunner:
             rows, valid, _ = nms.nms_select(
                 flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
                 pre_top_k=cfg.nms_pre_top_k,
+                use_pallas=self._use_fused_kernels(),
             )
             return rows, valid
 

@@ -80,13 +80,17 @@ def greedy_nms(
     return indices, count
 
 
-@partial(jax.jit, static_argnames=("max_out", "obj_idx", "pre_top_k"))
+@partial(
+    jax.jit,
+    static_argnames=("max_out", "obj_idx", "iou_thresh", "pre_top_k", "use_pallas"),
+)
 def nms_select(
     decoded: jnp.ndarray,
     obj_idx: int,
     max_out: int = 1000,
     iou_thresh: float = 0.5,
     pre_top_k: int = 0,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS over a flattened decoded tensor, scored by its objectness column.
 
@@ -106,7 +110,22 @@ def nms_select(
     if pre_top_k and pre_top_k < decoded.shape[0]:
         _, top_idx = jax.lax.top_k(decoded[:, obj_idx], pre_top_k)
         decoded = decoded[top_idx]
-    indices, count = greedy_nms(decoded[:, :4], decoded[:, obj_idx], max_out, iou_thresh)
+    if use_pallas:
+        # whole greedy loop in VMEM (ops.pallas_nms); -inf-score padding to
+        # a lane multiple never gets selected
+        from .pallas_nms import LANES, greedy_nms_pallas
+
+        n = decoded.shape[0]
+        pad = (-n) % LANES
+        boxes = jnp.pad(decoded[:, :4], ((0, pad), (0, 0)))
+        scores = jnp.pad(decoded[:, obj_idx], (0, pad), constant_values=-jnp.inf)
+        indices, count = greedy_nms_pallas(
+            boxes, scores, max_out=max_out, iou_thresh=float(iou_thresh)
+        )
+    else:
+        indices, count = greedy_nms(
+            decoded[:, :4], decoded[:, obj_idx], max_out, iou_thresh
+        )
     valid = indices >= 0
     rows = decoded[jnp.maximum(indices, 0)]
     rows = jnp.where(valid[:, None], rows, jnp.zeros_like(rows))

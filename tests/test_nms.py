@@ -87,3 +87,15 @@ def test_pre_top_k_matches_full_nms(rng):
     )
     assert int(full_count) == int(fast_count)
     np.testing.assert_array_equal(np.asarray(full_rows), np.asarray(fast_rows))
+
+
+def test_pallas_nms_matches_xla(rng):
+    from bayesian_yolov3_tpu.ops.pallas_nms import greedy_nms_pallas
+
+    boxes, scores = _random_boxes(rng, 256)
+    want_idx, want_cnt = nms.greedy_nms(jnp.asarray(boxes), jnp.asarray(scores), 100, 0.5)
+    got_idx, got_cnt = greedy_nms_pallas(
+        jnp.asarray(boxes), jnp.asarray(scores), 100, 0.5, interpret=True
+    )
+    assert int(got_cnt) == int(want_cnt)
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
