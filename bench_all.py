@@ -56,7 +56,7 @@ def bench_epistemic():
             for i, ((r, hw), st) in enumerate(zip(outs, (32, 16, 8)))
         ]
         flat = decode.concat_all_scales(decoded)
-        return nms.nms_select(flat, 14, 1000, 0.5, pre_top_k=8192)[2]
+        return nms.nms_select(flat, 14, 1000, 0.5, pre_top_k=8192, use_pallas=True)[2]
 
     j = jax.jit(fn)
     key = jax.random.key(1, impl="rbg")
