@@ -29,3 +29,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_cwd(tmp_path, monkeypatch):
+    """Run every test in its own temp cwd so relative default paths
+    (./tensorboard, ./log, ./checkpoints) never write into the repo."""
+    monkeypatch.chdir(tmp_path)
