@@ -73,8 +73,11 @@ class InferenceRunner:
     def load_state(self):
         """Restore params/stats from a training checkpoint ('last' or step,
         parity inference_epistemic.py:27-38)."""
+        # read-only use; keep the training retention policy so an
+        # accidental save could never garbage-collect old checkpoints
         store = CheckpointStore(
-            self.config.checkpoint_path, self.config.run_id, max_to_keep=1
+            self.config.checkpoint_path, self.config.run_id,
+            max_to_keep=self.config.ckp_max_to_keep,
         )
         params, stats = self.model.init(jax.random.PRNGKey(0))
         trainable, frozen = partition_params(params, self.config.freeze_darknet53)
