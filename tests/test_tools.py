@@ -141,3 +141,43 @@ def test_detect_demo_and_vis(tmp_path, rng):
     # 11 keys x 3 scales x 3 priors
     assert len(written) == 11 * 3 * 3
     assert all(os.path.exists(p) for p in written)
+
+
+def test_detect_demo_with_center_crop(tmp_path, rng):
+    """detect.py crop path: host center-crop + crop-rescaled priors
+    (reference detect.py:76-85, model.py:6-17)."""
+    from PIL import Image
+
+    from bayesian_yolov3_tpu.infer.detect import Detector
+    from bayesian_yolov3_tpu.train import loop as train_loop
+
+    pattern = synth.write_dataset(str(tmp_path / "data"), rng, n_images=4, img_hw=(128, 192))
+    cfg = Config(
+        model="standard",
+        full_img_size=(128, 192, 3),
+        crop=True,
+        crop_img_size=(64, 96, 3),
+        batch_size=2,
+        max_boxes_per_img=8,
+        train_steps=2,
+        checkpoint_interval=2,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        darknet53_weights="",
+        run_id="cropdemo",
+        thresh=0.0,
+        nms_max_boxes=10,
+        train=DataConfig(file_pattern=pattern, shuffle_buffer_size=2),
+        val=DataConfig(file_pattern=pattern, shuffle_buffer_size=2),
+    )
+    # train at crop size (crop pipeline), then detect full images with a
+    # host-side center crop
+    train_loop.Trainer(cfg, seed=0).run()
+
+    img_file = tmp_path / "full.png"
+    Image.fromarray(rng.uniform(0, 255, (128, 192, 3)).astype(np.uint8)).save(img_file)
+    det = Detector(cfg)
+    # device model runs at crop size with crop-rescaled priors
+    assert det.runner.model.img_size == (64, 96, 3)
+    res = det.run([str(img_file)], out_dir=str(tmp_path / "out"))
+    assert res[0]["image"].shape == (64, 96, 3)  # center-cropped
+    assert os.path.exists(tmp_path / "out" / "full_det.png")
