@@ -6,8 +6,8 @@ TestingDataset -> checkpoint resolve -> forward+decode+NMS -> session loop
 epistemic}.py):
 
 * standard / aleatoric: batched forward, per-batch-element NMS (the
-  reference builds a tf.while_loop per element, :104-145; here it is a
-  ``vmap`` of the fixed-shape greedy NMS).
+  reference builds a tf.while_loop per element, :104-145; here the image
+  batch is a grid axis of the fixed-shape NMS kernel — nms.nms_select_batch).
 * epistemic (bayesian, inference_mode): batch 1, T-sample ``mc_forward``,
   epistemic reduction, NMS over the flattened 21+C rows.  The T sample
   axis can be sharded over an ``mc`` mesh axis.
@@ -59,6 +59,7 @@ class InferenceRunner:
         # shards the T dropout samples over N devices (SURVEY §2.9's
         # north-star axis); single-device otherwise
         self.mesh = None
+        self._mc_fused = None
         if self.epistemic and config.mesh_shape.get("mc", 0) > 1:
             from ..parallel import mesh as mesh_lib
 
@@ -66,7 +67,33 @@ class InferenceRunner:
             assert config.T % config.mesh_shape["mc"] == 0, (
                 "T must divide evenly over the mc axis"
             )
-        self._jit = jax.jit(self._device_pipeline)
+            if config.use_pallas:
+                # multi-chip keeps the Pallas fast path: per-device partial
+                # moments + ICI psum + replicated finalize/NMS (shard_map);
+                # interpret mode stands in for Mosaic off-TPU (tests/dryrun)
+                from ..parallel.epistemic import make_mc_sharded_fused_pipeline
+
+                interpret = jax.devices()[0].platform != "tpu"
+                self._mc_fused = make_mc_sharded_fused_pipeline(
+                    self.model, self.mesh, T=config.T,
+                    priors_by_stride=self._priors,
+                    obj_idx=self.spec.obj_idx(epistemic=True),
+                    nms_max_boxes=config.nms_max_boxes,
+                    nms_iou_thresh=config.nms_iou_thresh,
+                    nms_pre_top_k=config.nms_pre_top_k,
+                    use_pallas_nms=True,
+                    interpret=interpret,
+                )
+        if self._mc_fused is not None:
+            fused = self._mc_fused
+
+            def run_fused(params, stats, images, rng):
+                imgs = jnp.asarray(images).astype(jnp.float32) / 255.0
+                return fused(params, stats, imgs, rng)
+
+            self._jit = run_fused  # jitted inside the shard_map wrapper
+        else:
+            self._jit = jax.jit(self._device_pipeline)
 
     # -- checkpoint handling -------------------------------------------
 
@@ -161,21 +188,14 @@ class InferenceRunner:
                     axis=1,
                 )  # (nb, N_total, width)
 
-                if nb == 1:  # common case: Pallas NMS (not vmappable)
-                    rows, valid, _ = nms.nms_select(
-                        flat[0], obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
-                        pre_top_k=cfg.nms_pre_top_k,
-                        use_pallas=self._use_fused_kernels(),
-                    )
-                    return rows[None], valid[None]
-
-                def per_img(flat_one):
-                    return nms.nms_select(
-                        flat_one, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
-                        pre_top_k=cfg.nms_pre_top_k,
-                    )[:2]
-
-                return jax.vmap(per_img)(flat)
+                # batched Pallas NMS: images are a kernel grid axis (the
+                # kernel is not vmappable — SMEM outputs)
+                rows, valid, _ = nms.nms_select_batch(
+                    flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
+                    pre_top_k=cfg.nms_pre_top_k,
+                    use_pallas=self._use_fused_kernels(),
+                )
+                return rows, valid
             raws = self.model.mc_forward(params, stats, imgs, T=cfg.T, rng=rng)
             decoded = self._decode_scales(raws, epistemic=True)
             flat = decode.concat_all_scales(decoded)
@@ -206,28 +226,22 @@ class InferenceRunner:
                 axis=1,
             )  # (batch, N_total, width), reference concat order
 
-            def per_row(flat_one):
-                return nms.nms_select(
-                    flat_one, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
-                    pre_top_k=cfg.nms_pre_top_k,
-                    use_pallas=self._use_fused_kernels(),
-                )[:2]
-
-            return jax.vmap(per_row)(flat)
-
-        raws, _ = self.model.forward(params, stats, imgs, training=False, rng=rng)
-        decoded = self._decode_scales(raws, epistemic=False)
-
-        def per_element(ds):
-            flat = decode.concat_all_scales(ds)
-            rows, valid, _ = nms.nms_select(
+            rows, valid, _ = nms.nms_select_batch(
                 flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
                 pre_top_k=cfg.nms_pre_top_k,
                 use_pallas=self._use_fused_kernels(),
             )
             return rows, valid
 
-        return jax.vmap(per_element)(decoded)
+        raws, _ = self.model.forward(params, stats, imgs, training=False, rng=rng)
+        decoded = self._decode_scales(raws, epistemic=False)
+        flat = decode.concat_all_scales_batched(decoded)
+        rows, valid, _ = nms.nms_select_batch(
+            flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
+            pre_top_k=cfg.nms_pre_top_k,
+            use_pallas=self._use_fused_kernels(),
+        )
+        return rows, valid
 
     # -- host loop -------------------------------------------------------
 

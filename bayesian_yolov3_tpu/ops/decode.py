@@ -243,3 +243,13 @@ def concat_all_scales(decoded: Sequence[jnp.ndarray]) -> jnp.ndarray:
         h, w, B, width = d.shape
         flat.append(jnp.transpose(d, (2, 0, 1, 3)).reshape(B * h * w, width))
     return jnp.concatenate(flat, axis=0)
+
+
+def concat_all_scales_batched(decoded: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Batched ``concat_all_scales``: [(NB, h, w, B, width), ...] ->
+    (NB, N_total, width), same per-image row order."""
+    flat = []
+    for d in decoded:
+        nb, h, w, B, width = d.shape
+        flat.append(jnp.transpose(d, (0, 3, 1, 2, 4)).reshape(nb, B * h * w, width))
+    return jnp.concatenate(flat, axis=1)

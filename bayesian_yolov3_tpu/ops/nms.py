@@ -82,7 +82,9 @@ def greedy_nms(
 
 @partial(
     jax.jit,
-    static_argnames=("max_out", "obj_idx", "iou_thresh", "pre_top_k", "use_pallas"),
+    static_argnames=(
+        "max_out", "obj_idx", "iou_thresh", "pre_top_k", "use_pallas", "interpret"
+    ),
 )
 def nms_select(
     decoded: jnp.ndarray,
@@ -91,6 +93,7 @@ def nms_select(
     iou_thresh: float = 0.5,
     pre_top_k: int = 0,
     use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS over a flattened decoded tensor, scored by its objectness column.
 
@@ -120,7 +123,8 @@ def nms_select(
         boxes = jnp.pad(decoded[:, :4], ((0, pad), (0, 0)))
         scores = jnp.pad(decoded[:, obj_idx], (0, pad), constant_values=-jnp.inf)
         indices, count = greedy_nms_pallas(
-            boxes, scores, max_out=max_out, iou_thresh=float(iou_thresh)
+            boxes, scores, max_out=max_out, iou_thresh=float(iou_thresh),
+            interpret=interpret,
         )
     else:
         indices, count = greedy_nms(
@@ -129,6 +133,56 @@ def nms_select(
     valid = indices >= 0
     rows = decoded[jnp.maximum(indices, 0)]
     rows = jnp.where(valid[:, None], rows, jnp.zeros_like(rows))
+    return rows, valid, count
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_out", "obj_idx", "iou_thresh", "pre_top_k", "use_pallas", "interpret"
+    ),
+)
+def nms_select_batch(
+    decoded: jnp.ndarray,
+    obj_idx: int,
+    max_out: int = 1000,
+    iou_thresh: float = 0.5,
+    pre_top_k: int = 0,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Image-batched ``nms_select``: (NB, N, width) -> per-image selections.
+
+    The Pallas greedy kernel is not ``vmap``-able (SMEM outputs), so image
+    batching is a kernel grid axis (ops.pallas_nms.greedy_nms_pallas_batched)
+    instead of a vmap — this is the production path for the reference's
+    batched standard/aleatoric inference (inference_aleatoric.py:104-145).
+
+    Returns (rows (NB, max_out, width), valid (NB, max_out), count (NB,)).
+    """
+    if pre_top_k and pre_top_k < decoded.shape[1]:
+        _, top_idx = jax.lax.top_k(decoded[:, :, obj_idx], pre_top_k)
+        decoded = jnp.take_along_axis(decoded, top_idx[:, :, None], axis=1)
+    if use_pallas:
+        from .pallas_nms import LANES, greedy_nms_pallas_batched
+
+        n = decoded.shape[1]
+        pad = (-n) % LANES
+        boxes = jnp.pad(decoded[:, :, :4], ((0, 0), (0, pad), (0, 0)))
+        scores = jnp.pad(
+            decoded[:, :, obj_idx], ((0, 0), (0, pad)), constant_values=-jnp.inf
+        )
+        indices, count = greedy_nms_pallas_batched(
+            boxes, scores, max_out=max_out, iou_thresh=float(iou_thresh),
+            interpret=interpret,
+        )
+    else:
+        indices, count = jax.vmap(
+            lambda b, s: greedy_nms(b, s, max_out, iou_thresh)
+        )(decoded[:, :, :4], decoded[:, :, obj_idx])
+    valid = indices >= 0
+    rows = jnp.take_along_axis(decoded, jnp.maximum(indices, 0)[:, :, None], axis=1)
+    rows = jnp.where(valid[:, :, None], rows, jnp.zeros_like(rows))
     return rows, valid, count
 
 

@@ -89,6 +89,46 @@ def test_pre_top_k_matches_full_nms(rng):
     np.testing.assert_array_equal(np.asarray(full_rows), np.asarray(fast_rows))
 
 
+def test_pallas_nms_batched_matches_per_image(rng):
+    """The image-batched kernel (grid axis, infer/runner production path)
+    must select identically to per-image greedy NMS."""
+    from bayesian_yolov3_tpu.ops.pallas_nms import greedy_nms_pallas_batched
+
+    nb = 5
+    boxes = np.stack([_random_boxes(rng, 256)[0] for _ in range(nb)])
+    scores = np.stack([_random_boxes(rng, 256)[1] for _ in range(nb)])
+    got_idx, got_cnt = greedy_nms_pallas_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), 100, 0.5, interpret=True
+    )
+    for b in range(nb):
+        want_idx, want_cnt = nms.greedy_nms(
+            jnp.asarray(boxes[b]), jnp.asarray(scores[b]), 100, 0.5
+        )
+        assert int(got_cnt[b]) == int(want_cnt)
+        np.testing.assert_array_equal(np.asarray(got_idx[b]), np.asarray(want_idx))
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_nms_select_batch_matches_single(rng, use_pallas):
+    """nms_select_batch == nms_select per image, both kernel paths."""
+    nb, n, width = 4, 300, 9
+    decoded = np.zeros((nb, n, width), np.float32)
+    for b in range(nb):
+        boxes, scores = _random_boxes(rng, n)
+        decoded[b, :, :4] = boxes
+        decoded[b, :, 4] = scores
+        decoded[b, :, 5:] = rng.uniform(0, 1, (n, width - 5))
+    kw = dict(obj_idx=4, max_out=64, pre_top_k=256)
+    rows, valid, count = nms.nms_select_batch(
+        jnp.asarray(decoded), use_pallas=use_pallas, interpret=True, **kw
+    )
+    for b in range(nb):
+        w_rows, w_valid, w_count = nms.nms_select(jnp.asarray(decoded[b]), **kw)
+        assert int(count[b]) == int(w_count)
+        np.testing.assert_array_equal(np.asarray(valid[b]), np.asarray(w_valid))
+        np.testing.assert_array_equal(np.asarray(rows[b]), np.asarray(w_rows))
+
+
 def test_pallas_nms_matches_xla(rng):
     from bayesian_yolov3_tpu.ops.pallas_nms import greedy_nms_pallas
 
@@ -99,3 +139,75 @@ def test_pallas_nms_matches_xla(rng):
     )
     assert int(got_cnt) == int(want_cnt)
     np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
+
+
+def test_pre_top_k_exactness_on_trained_model_decodes(rng, tmp_path):
+    """VERDICT #6: the pre-NMS top-k cap must not change selections on
+    realistic decoded outputs.  A briefly-trained model's score surface is
+    *more* adversarial than a converged one (diffuse, near-tied scores), so
+    exactness here is strong evidence for the 8x-margin argument in
+    ops.nms.nms_select."""
+    import jax
+    import synth
+    from bayesian_yolov3_tpu.config import Config, DataConfig
+    from bayesian_yolov3_tpu.core.priors import priors_as_array
+    from bayesian_yolov3_tpu.models.yolov3 import YoloV3
+    from bayesian_yolov3_tpu.ops import decode
+    from bayesian_yolov3_tpu.train import loop as train_loop
+
+    img_size = (64, 96, 3)
+    pattern = synth.write_dataset(str(tmp_path / "d"), rng, n_images=4,
+                                  img_hw=img_size[:2])
+    cfg = Config(model="standard", full_img_size=img_size, batch_size=2,
+                 max_boxes_per_img=8, train_steps=10, checkpoint_interval=10,
+                 lr=3e-3, darknet53_weights="",
+                 checkpoint_path=str(tmp_path / "ckpt"),
+                 train=DataConfig(file_pattern=pattern, shuffle_buffer_size=2),
+                 val=DataConfig(file_pattern=pattern, shuffle_buffer_size=2))
+    trainer = train_loop.Trainer(cfg, seed=0)
+    out = trainer.run()
+    m = trainer.model
+    params = train_loop.merge_params(out["state"]["params"], out["state"]["frozen"])
+    img = jnp.asarray(rng.uniform(0, 1, (1, *img_size)), jnp.float32)
+    raws, _ = m.forward(params, out["state"]["stats"], img, training=False)
+    pri = priors_as_array(m.priors)
+    decoded = []
+    for i, (raw, stride) in enumerate(zip(raws, (32, 16, 8))):
+        det = decode.split_detection(raw, m.spec)
+        decoded.append(decode.decode_bbox_standard(
+            jax.tree.map(lambda x: x[0], det), jnp.asarray(pri[stride])))
+    flat = decode.concat_all_scales(decoded)  # (378, 7) at this resolution
+    # pre_top_k = 8 * max_out, the documented safety margin
+    full = nms.nms_select(flat, obj_idx=4, max_out=16, pre_top_k=0)
+    fast = nms.nms_select(flat, obj_idx=4, max_out=16, pre_top_k=128)
+    assert int(full[2]) == int(fast[2])
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(fast[0]))
+
+
+def test_pre_top_k_exactness_at_ecp_anchor_count(rng):
+    """Full ECP-resolution anchor set (~121k rows): default pre_top_k=8192
+    vs exact full-anchor NMS at max_out=1000 on a detector-shaped score
+    distribution (background logits ~N(-4,1), clustered foreground peaks)."""
+    n = 120960  # (32*60 + 64*120 + 128*240) * 3 priors at 1024x1920
+    scores = 1.0 / (1.0 + np.exp(-rng.normal(-4.0, 1.0, n)))  # background
+    # ~40 object clusters: overlapping high-score boxes around shared centers
+    centers = rng.uniform(0.1, 0.9, (40, 2))
+    boxes = np.zeros((n, 4), np.float32)
+    yx = rng.uniform(0, 0.95, (n, 2))
+    hw = rng.uniform(0.02, 0.1, (n, 2))
+    boxes[:, :2] = yx
+    boxes[:, 2:] = yx + hw
+    for c in centers:
+        members = rng.integers(0, n, 30)
+        jitter = rng.normal(0, 0.01, (30, 2))
+        sz = rng.uniform(0.03, 0.08, (30, 2))
+        boxes[members, :2] = c + jitter
+        boxes[members, 2:] = c + jitter + sz
+        scores[members] = 1.0 / (1.0 + np.exp(-rng.normal(2.0, 1.5, 30)))
+    decoded = np.zeros((n, 6), np.float32)
+    decoded[:, :4] = boxes
+    decoded[:, 4] = scores
+    full = nms.nms_select(jnp.asarray(decoded), obj_idx=4, max_out=1000, pre_top_k=0)
+    fast = nms.nms_select(jnp.asarray(decoded), obj_idx=4, max_out=1000, pre_top_k=8192)
+    assert int(full[2]) == int(fast[2])
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(fast[0]))
