@@ -163,6 +163,10 @@ class Trainer:
 
     def __init__(self, config: Config, seed: int = 0):
         self.config = config
+        # multi-host bring-up first — device queries below must see the
+        # global (all-hosts) device set (SURVEY §5.8)
+        mesh_lib.maybe_initialize_from_config(config)
+        self._is_main = jax.process_index() == 0
         self.model = YoloV3.from_config(config)
         self.tables = encode.build_prior_tables(self.model.blueprint)
         self.train_step_fn, self.eval_step_fn, self.optimizer = make_train_step(
@@ -187,7 +191,9 @@ class Trainer:
     def fresh_state(self):
         state = init_state(self.model, self.config, self.rng, self.optimizer)
         if self.mesh is not None:
-            state = jax.device_put(state, mesh_lib.replicated(self.mesh))
+            # every host computes the same init (shared seed), so replication
+            # is safe multi-host (mesh_lib.replicate assembles global arrays)
+            state = mesh_lib.replicate(self.mesh, state)
         return state
 
     def _place_batch(self, batch):
@@ -200,7 +206,8 @@ class Trainer:
 
     def run(self) -> Dict[str, Any]:
         cfg = self.config
-        self.store.save_config_snapshot(cfg)
+        if self._is_main:
+            self.store.save_config_snapshot(cfg)
         state = self.fresh_state()
         step = 0
         if cfg.resume_training:
@@ -209,12 +216,19 @@ class Trainer:
             )
             log.info("resumed from step %d", step)
 
-        train_loader = pipeline.TrainLoader(cfg, "train", seed=1)
-        val_loader = pipeline.TrainLoader(cfg, "val", seed=2)
+        # each host loads its own shard stripe and local batch slice
+        pi, pc = jax.process_index(), jax.process_count()
+        train_loader = pipeline.TrainLoader(cfg, "train", seed=1,
+                                            host_index=pi, host_count=pc)
+        val_loader = pipeline.TrainLoader(cfg, "val", seed=2,
+                                          host_index=pi, host_count=pc)
         train_it = train_loader.batches()
         val_it = val_loader.batches()
-        mfile = open(self.metrics_path, "a")
-        self._tb_writers = self._make_tb_writers()
+        # metrics/TensorBoard files are written by process 0 only (every
+        # process still computes the metrics: the NaN guard must fire
+        # identically everywhere)
+        mfile = open(self.metrics_path if self._is_main else os.devnull, "a")
+        self._tb_writers = self._make_tb_writers() if self._is_main else None
 
         def save(step_):
             self.store.save(step_, jax.tree.map(np.asarray, state), force=True)
@@ -222,27 +236,51 @@ class Trainer:
 
         key = jax.random.fold_in(self.rng, 7)
         timer = StepTimer(window=100)
+        # Metric fetch runs one step behind dispatch: each device->host
+        # transfer costs ~27 ms through the tunnel (BENCH_NOTES.md), which a
+        # per-step synchronous fetch would serialize into the hot loop (~20%
+        # of the step).  The NaN guard (parity train.py:56-60) therefore
+        # checks step i-1 while step i is in flight — it still aborts, one
+        # dispatched step later.
+        import collections
+
+        inflight: "collections.deque" = collections.deque()
+        t0 = time.time()
+
+        def drain_one() -> bool:
+            """Fetch the oldest in-flight metrics; True => non-finite loss."""
+            nonlocal t0
+            s, m = inflight.popleft()
+            tloss = float(m["total"])
+            if np.isnan(tloss) or np.isinf(tloss):
+                log.error(
+                    "step %d: non-finite total loss %r — aborting "
+                    "(detected with one step in flight)", s, tloss,
+                )
+                return True
+            if s % 25 == 0:
+                self._log_metrics(mfile, "train", s, m, t0)
+                t0 = time.time()
+            return False
+
         try:
-            t0 = time.time()
             while step < cfg.train_steps:
                 step += 1
                 timer.tick()
                 batch = self._place_batch(next(train_it))
                 state, metrics = self._jit_train(state, batch, key)
-                tloss = float(metrics["total"])
-                if np.isnan(tloss) or np.isinf(tloss):
-                    # NaN guard parity (train.py:56-60)
-                    log.error("step %d: non-finite total loss %r — aborting", step, tloss)
+                inflight.append((step, metrics))
+                if len(inflight) >= 2 and drain_one():
                     break
-                if step % 25 == 0:
-                    self._log_metrics(mfile, "train", step, metrics, t0)
-                    t0 = time.time()
                 if step % 100 == 0:
                     vmetrics = self._jit_eval(state, self._place_batch(next(val_it)), key)
                     self._log_metrics(mfile, "val", step, vmetrics, None)
                 if step % cfg.checkpoint_interval == 0:
                     save(step)
                     timer.write(os.path.join(self.store.dir, "step_timing.jsonl"))
+            while inflight:
+                if drain_one():
+                    break
         except KeyboardInterrupt:
             log.warning("interrupted at step %d — saving checkpoint", step)
             save(step)

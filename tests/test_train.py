@@ -51,7 +51,6 @@ def test_train_runs_and_loss_decreases(tmp_data, rng):
     trainer = train_loop.Trainer(cfg, seed=0)
     out = trainer.run()
     assert out["step"] == 30
-    lines = [eval(l) for l in open(trainer.metrics_path) if "'train'" in l.replace('"', "'")]
     import json
 
     with open(trainer.metrics_path) as f:
