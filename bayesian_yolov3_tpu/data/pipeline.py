@@ -24,15 +24,47 @@ Output batches are dicts of numpy arrays::
 
 from __future__ import annotations
 
+import collections
 import io
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterable, Iterator, List, Optional
 
 import numpy as np
 
 from ..config import Config
 from . import proto, tfrecord
+
+
+def parallel_map(
+    fn: Callable, it: Iterable, workers: int, depth_factor: int = 4
+) -> Iterator:
+    """Order-preserving parallel map over an iterator (thread pool).
+
+    The TPU-native counterpart of the reference's
+    ``num_parallel_calls=cpu_thread_cnt`` record parse
+    (dataset_utils.py:106): record parse + PNG decode fan out over
+    ``workers`` threads (PIL and zlib release the GIL), with a bounded
+    in-flight window so memory stays flat.  Results come back in input
+    order, so pipelines stay deterministic for a fixed seed.
+    """
+    if workers <= 1:
+        for x in it:
+            yield fn(x)
+        return
+    pending: "collections.deque" = collections.deque()
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        try:
+            for x in it:
+                pending.append(ex.submit(fn, x))
+                if len(pending) >= workers * depth_factor:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            for f in pending:
+                f.cancel()
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -157,13 +189,27 @@ class _Prefetcher:
 
 
 class TrainLoader:
-    """Infinite shuffled train/val batches (parity TrainValDataset :113-160)."""
+    """Infinite shuffled train/val batches (parity TrainValDataset :113-160).
 
-    def __init__(self, config: Config, split: str = "train", seed: int = 0):
+    Multi-host: pass ``host_index``/``host_count`` (jax.process_index/count)
+    — each host reads a disjoint stripe of the shard files and yields LOCAL
+    batches of ``batch_size / host_count`` rows, assembled into the global
+    batch by parallel.mesh.shard_batch.
+    """
+
+    def __init__(self, config: Config, split: str = "train", seed: int = 0,
+                 host_index: int = 0, host_count: int = 1):
         self.config = config
         self.split_cfg = getattr(config, split)
         self.split = split
-        self.rng = np.random.default_rng(seed)
+        self.host_index = host_index
+        self.host_count = host_count
+        assert config.batch_size % host_count == 0, (
+            f"global batch {config.batch_size} not divisible by "
+            f"{host_count} hosts"
+        )
+        self.local_batch_size = config.batch_size // host_count
+        self.rng = np.random.default_rng(seed + 1031 * host_index)
         self._prefetcher: Optional[_Prefetcher] = None
 
     def _epochs(self) -> Iterator[Dict]:
@@ -174,13 +220,21 @@ class TrainLoader:
                 records: Iterator[bytes] = iter(cache)
             else:
                 records = tfrecord.read_shards(
-                    self.split_cfg.file_pattern, shuffle_rng=self.rng
+                    self.split_cfg.file_pattern, shuffle_rng=self.rng,
+                    shard_index=self.host_index, shard_count=self.host_count,
                 )
                 if cache is not None:
                     records = self._caching_iter(records, cache)
             shuffled = ShuffleBuffer(self.split_cfg.shuffle_buffer_size, self.rng)(records)
-            for rec in shuffled:
-                yield _pad(parse_example(rec, self.config), self.config.max_boxes_per_img)
+            # parse + PNG decode fan out over cpu_thread_cnt threads
+            # (parity dataset_utils.py:106 num_parallel_calls)
+            yield from parallel_map(
+                lambda rec: _pad(
+                    parse_example(rec, self.config), self.config.max_boxes_per_img
+                ),
+                shuffled,
+                self.config.cpu_thread_cnt,
+            )
             first = False
 
     @staticmethod
@@ -194,7 +248,7 @@ class TrainLoader:
             buf = []
             for item in self._epochs():
                 buf.append(item)
-                if len(buf) == self.config.batch_size:
+                if len(buf) == self.local_batch_size:
                     yield _batch(buf)
                     buf = []
 
@@ -215,11 +269,19 @@ class TestLoader:
         self.batch_size = batch_size or config.batch_size
 
     def batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        def parse(rec):
+            parsed = parse_example(rec, self.config, with_filename=True)
+            parsed.pop("bbox"), parsed.pop("label")
+            return parsed
+
         def gen():
             buf = []
-            for rec in tfrecord.read_shards(self.config.data.file_pattern):
-                parsed = parse_example(rec, self.config, with_filename=True)
-                parsed.pop("bbox"), parsed.pop("label")
+            parsed_it = parallel_map(
+                parse,
+                tfrecord.read_shards(self.config.data.file_pattern),
+                self.config.cpu_thread_cnt,
+            )
+            for parsed in parsed_it:
                 buf.append(parsed)
                 if len(buf) == self.batch_size:
                     yield _batch(buf)

@@ -146,14 +146,26 @@ def read_shards(
     file_pattern: str,
     shuffle_rng: Optional[np.random.Generator] = None,
     cycle_length: int = 2,
+    shard_index: int = 0,
+    shard_count: int = 1,
 ) -> Iterator[bytes]:
     """Interleaved shard reader.
 
     Parity with the reference input graph (dataset_utils.py:98-104):
     shards listed by pattern, optionally shuffled, then round-robin
     interleaved ``cycle_length`` files at a time with block length 1.
+
+    ``shard_count > 1`` stripes the (sorted) file list across hosts BEFORE
+    shuffling, so multi-host training reads disjoint per-host subsets
+    deterministically (SURVEY §5.8 — the reference is single-host only).
     """
     files = list_shards(file_pattern)
+    if shard_count > 1:
+        files = files[shard_index::shard_count]
+        assert files, (
+            f"host {shard_index}/{shard_count}: no shard files in "
+            f"{file_pattern} — need >= {shard_count} shards"
+        )
     if shuffle_rng is not None:
         shuffle_rng.shuffle(files)
     pending = list(files)

@@ -75,3 +75,34 @@ def test_prefetcher_propagates_errors():
     assert next(it) == 1
     with pytest.raises(ValueError, match="boom"):
         next(it)
+
+
+def test_parallel_parse_is_deterministic(dataset):
+    """cpu_thread_cnt is live (parity dataset_utils.py:106) and the
+    order-preserving pool yields byte-identical batches vs 1 thread."""
+    def take(threads, n=4):
+        cfg = _config(dataset)
+        cfg.cpu_thread_cnt = threads
+        loader = pipeline.TrainLoader(cfg, "train", seed=3)
+        it = loader.batches()
+        out = [next(it) for _ in range(n)]
+        loader.close()
+        return out
+
+    a, b = take(1), take(4)
+    for ba, bb in zip(a, b):
+        for k in ("image", "bbox", "label", "valid"):
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_parallel_map_preserves_order_and_errors():
+    got = list(pipeline.parallel_map(lambda x: x * x, range(100), workers=8))
+    assert got == [x * x for x in range(100)]
+
+    def boom(x):
+        if x == 5:
+            raise ValueError("boom")
+        return x
+
+    with pytest.raises(ValueError):
+        list(pipeline.parallel_map(boom, range(10), workers=4))
