@@ -2,17 +2,26 @@
 
 The reference's one real parallel axis is the T MC-dropout samples, batched
 on a single GPU via feature-map stacking (SURVEY §2.9).  Here T becomes a
-sharded vmap axis: per-sample PRNG keys are placed sharded over the ``mc``
-mesh axis and a sharding constraint on the per-sample head outputs makes
-GSPMD partition the whole dropout-bearing head computation across chips.
-The deterministic backbone runs replicated (it is identical for every
-sample); the epistemic reduction (means / covariances over T) compiles to
-an ICI all-reduce.
+sharded vmap axis, two ways:
+
+* ``make_mc_sharded_forward`` — GSPMD path: per-sample PRNG keys are placed
+  sharded over the ``mc`` mesh axis and a sharding constraint on the
+  per-sample head outputs makes GSPMD partition the whole dropout-bearing
+  head computation across chips; the epistemic reduction compiles to an ICI
+  all-reduce.  Composable with any downstream XLA decode, but NOT with the
+  fused Pallas kernels (GSPMD cannot partition a pallas_call).
+* ``make_mc_sharded_fused_pipeline`` — shard_map path, the fast one: each
+  device runs the heads on its T/N local samples and the Pallas
+  partial-moments kernel (ops.pallas_epistemic.epistemic_moments_cf), the
+  moment sums all-reduce over ICI (one (B, 21+C, hw) f32 tensor per scale —
+  tiny next to the raw samples), and the finalize + NMS kernels run
+  replicated.  Multi-chip keeps the single-chip Pallas fast path.
 """
 
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import yolov3 as yolo_lib
@@ -53,5 +62,118 @@ def make_mc_sharded_forward(model, mesh: Mesh, T: int, axis: str = "mc"):
     def call(params, stats, img, rng):
         keys = jax.device_put(jax.random.split(rng, T), sample_sharding)
         return jitted(params, stats, img, keys)
+
+    return call
+
+
+def make_mc_sharded_fused_pipeline(
+    model,
+    mesh: Mesh,
+    T: int,
+    *,
+    priors_by_stride,
+    obj_idx: int,
+    nms_max_boxes: int = 1000,
+    nms_iou_thresh: float = 0.5,
+    nms_pre_top_k: int = 0,
+    use_pallas_nms: bool = True,
+    interpret: bool = False,
+    axis: str = "mc",
+):
+    """Fused multi-chip epistemic pipeline (the north-star configuration).
+
+    Returns a jitted ``fn(params, stats, img(1,H,W,3) f32, rng) -> (rows
+    (1, max_out, 21+C), valid (1, max_out))`` where the T MC samples are
+    sharded over ``axis`` and the Pallas decode stays on the fast path:
+
+      per device:  backbone (replicated) -> heads on T/N local sample keys
+                   -> channels-first 1x1 head -> Pallas partial moments
+      collective:  lax.psum of the (B, 21+C, hw) moment sums over ``axis``
+      replicated:  Pallas finalize (means/cov/entropy/corner decode)
+                   -> concat scales -> NMS
+
+    The psum moves ~(21+C) f32 rows per anchor instead of chpp*T raw
+    samples, so ICI traffic is independent of T.
+
+    PRNG note: with the production rbg impl, random bits depend on the vmap
+    batch layout, so sharding T changes the (equally valid) dropout masks —
+    MC statistics are unaffected.  Threefry keys are layout-invariant and
+    make the sharded path bit-identical to single-device (tested in
+    tests/test_mc_sharded.py).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import nms as nms_lib
+    from ..ops.common import detection_conv_cf
+    from ..ops.pallas_epistemic import epistemic_finalize, epistemic_moments_cf
+
+    n = mesh.shape[axis]
+    assert T % n == 0, f"T={T} not divisible by mc axis size {n}"
+    spec = model.spec
+    dtype = model._dtype
+    C = spec.cls_cnt
+
+    impl_box = {}  # key impl captured at first call (rbg in production)
+
+    def shard_fn(params, stats, img, keydata):
+        keys = jax.random.wrap_key_data(keydata, impl=impl_box["impl"])  # (T/n,)
+        out32, skip16, skip8, _ = darknet.darknet53(
+            params["backbone"], stats["backbone"], img,
+            training=False, compute_dtype=dtype,
+        )
+
+        def one_sample(key):
+            feats, _ = yolo_lib._heads(
+                params, stats, out32, skip16, skip8,
+                spec=spec, training=False, dropout_active=True, rng=key,
+                compute_dtype=dtype, return_features=True,
+            )
+            return feats
+
+        feats = jax.vmap(one_sample)(keys)  # 3 x (T/n, 1, h, w, cfeat)
+        decoded = []
+        for i, (f, stride) in enumerate(zip(feats, (32, 16, 8))):
+            h, w = f.shape[2], f.shape[3]
+            # interpret (= off-TPU) runs the 1x1 head contraction in f32:
+            # XLA:CPU has no bf16 dot thunk (UNIMPLEMENTED BF16xBF16=F32)
+            raw_cf = detection_conv_cf(
+                params[f"det{i + 1}"], f,
+                compute_dtype=jnp.float32 if interpret else dtype,
+            )  # (ch, T/n, hw)
+            moments = epistemic_moments_cf(
+                raw_cf, cls_cnt=C, interpret=interpret
+            )
+            moments = jax.lax.psum(moments, axis)  # global sums, replicated
+            decoded.append(
+                epistemic_finalize(
+                    moments, jnp.asarray(priors_by_stride[stride]),
+                    T=T, h=h, w=w, cls_cnt=C, layer_id=i,
+                    interpret=interpret,
+                )[0]
+            )  # (B*hw, width)
+        flat = jnp.concatenate(decoded, axis=0)
+        rows, valid, _ = nms_lib.nms_select(
+            flat, obj_idx, nms_max_boxes, nms_iou_thresh,
+            pre_top_k=nms_pre_top_k, use_pallas=use_pallas_nms,
+            interpret=interpret,
+        )
+        return rows[None], valid[None]
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def call(params, stats, img, rng):
+        impl = jax.random.key_impl(rng)
+        impl_box.setdefault("impl", impl)
+        assert impl_box["impl"] == impl, "key impl must not change across calls"
+        keydata = jax.random.key_data(jax.random.split(rng, T))  # (T, words) u32
+        keydata = jax.device_put(keydata, NamedSharding(mesh, P(axis)))
+        return jitted(params, stats, img, keydata)
 
     return call

@@ -83,3 +83,62 @@ def test_runner_mc_sharded_end_to_end(tmp_path, rng):
     assert len(files) == 2
     dets = json.load(open(files[0]))["children"]
     assert dets and "obj_mutual_info" in dets[0]
+
+def test_mc_sharded_fused_pipeline_matches_single_device():
+    """The shard_map fused path (partial moments -> psum -> finalize -> NMS)
+    must reproduce the single-device fused pipeline: same per-sample keys,
+    same dropout masks, moments differ only by summation order.
+
+    Uses threefry keys: threefry random bits are invariant to the vmap batch
+    layout, so T-vmap-on-one-device == (T/N)-vmap-per-device exactly.  The
+    production rbg PRNG is NOT layout-invariant (its bits depend on the
+    batch shape) — with rbg the sharded path draws different, statistically
+    equivalent masks, which is fine for MC-dropout but untestable bit-wise."""
+    from bayesian_yolov3_tpu.core.priors import priors_as_array
+    from bayesian_yolov3_tpu.models.yolov3 import mc_forward_cf
+    from bayesian_yolov3_tpu.ops import decode as decode_ops
+    from bayesian_yolov3_tpu.ops import nms as nms_lib
+    from bayesian_yolov3_tpu.ops.pallas_epistemic import fused_epistemic_decode_cf_batched
+    from bayesian_yolov3_tpu.parallel.epistemic import make_mc_sharded_fused_pipeline
+
+    assert len(jax.devices()) == 8
+    m = YoloV3(spec=VariantSpec(Variant.BAYESIAN, 2), priors=ECP_9_PRIORS, img_size=IMG)
+    params, stats = m.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (1, *IMG)).astype(np.float32)
+    )
+    T = 8
+    key = jax.random.PRNGKey(3)  # threefry: vmap-layout-invariant bits
+    pri = priors_as_array(m.priors)
+    obj_idx = m.spec.obj_idx(epistemic=True)
+
+    # single-device fused reference
+    outs = mc_forward_cf(params, stats, img, spec=m.spec, T=T, rng=key)
+    flat = jnp.concatenate(
+        [
+            fused_epistemic_decode_cf_batched(
+                r, jnp.asarray(pri[st]), n_imgs=1, h=hw[0], w=hw[1],
+                cls_cnt=2, layer_id=i, interpret=True,
+            )
+            for i, ((r, hw), st) in enumerate(zip(outs, (32, 16, 8)))
+        ],
+        axis=1,
+    )
+    want_rows, want_valid, _ = nms_lib.nms_select(
+        flat[0], obj_idx, 20, 0.5, use_pallas=True, interpret=True
+    )
+
+    mesh = mesh_lib.make_mesh({"mc": 8})
+    fn = make_mc_sharded_fused_pipeline(
+        m, mesh, T=T, priors_by_stride=pri, obj_idx=obj_idx,
+        nms_max_boxes=20, interpret=True,
+    )
+    params_r = jax.device_put(params, mesh_lib.replicated(mesh))
+    stats_r = jax.device_put(stats, mesh_lib.replicated(mesh))
+    img_r = jax.device_put(img, mesh_lib.replicated(mesh))
+    got_rows, got_valid = fn(params_r, stats_r, img_r, key)
+
+    np.testing.assert_array_equal(np.asarray(got_valid[0]), np.asarray(want_valid))
+    np.testing.assert_allclose(
+        np.asarray(got_rows[0]), np.asarray(want_rows), rtol=1e-4, atol=1e-5
+    )

@@ -103,3 +103,51 @@ def test_batched_epistemic_decode_matches_per_image(rng):
         np.testing.assert_allclose(got[b, :, :12], want[:, :12], rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(got[b, :, 12], want[:, 12], rtol=1e-3, atol=1e-6)
         np.testing.assert_allclose(got[b, :, 13:], want[:, 13:], rtol=1e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_moments_plus_finalize_matches_fused_decode(rng, n_shards):
+    """The split formulation (per-shard partial moments -> sum -> finalize),
+    used by the multi-chip mc path, must reproduce the one-shot fused
+    kernel up to psum summation order."""
+    from bayesian_yolov3_tpu.ops.pallas_epistemic import (
+        epistemic_moments_cf,
+        epistemic_finalize,
+        fused_epistemic_decode_cf,
+    )
+
+    spec = VariantSpec(Variant.BAYESIAN, C)
+    h, w, T = 4, 8, 8
+    chpp = spec.head_channels_per_prior
+    raw_cf = rng.standard_normal((3 * chpp, T, h * w)).astype(np.float32)
+
+    want = np.asarray(
+        fused_epistemic_decode_cf(
+            jnp.asarray(raw_cf), jnp.asarray(PRIORS), h=h, w=w, cls_cnt=C,
+            layer_id=2, interpret=True,
+        )
+    )  # (h, w, 3, width)
+
+    # shard the T axis, sum the per-shard moments (psum stand-in), finalize
+    shard_T = T // n_shards
+    moments = sum(
+        np.asarray(
+            epistemic_moments_cf(
+                jnp.asarray(raw_cf[:, s * shard_T : (s + 1) * shard_T]),
+                cls_cnt=C, interpret=True,
+            )
+        )
+        for s in range(n_shards)
+    )
+    got = np.asarray(
+        epistemic_finalize(
+            jnp.asarray(moments), jnp.asarray(PRIORS), T=T, h=h, w=w,
+            cls_cnt=C, layer_id=2, interpret=True,
+        )
+    )  # (1, 3*h*w, width)
+    want_flat = np.asarray(
+        decode.concat_all_scales([jnp.asarray(want)])
+    )
+    np.testing.assert_allclose(got[0, :, :12], want_flat[:, :12], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got[0, :, 12], want_flat[:, 12], rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(got[0, :, 13:], want_flat[:, 13:], rtol=1e-4, atol=2e-4)
