@@ -71,10 +71,20 @@ def conv2d(x, w, *, stride: int = 1, darknet_pad: bool = True):
 
 
 def dropout(x, rate: float, rng):
-    """Inverted dropout (tf.layers.dropout semantics, layers.py:521-524)."""
+    """Inverted dropout (tf.layers.dropout semantics, layers.py:521-524).
+
+    The Bernoulli draw is a 16-bit integer threshold compare instead of the
+    default float path (uint32 bits -> f32 uniform -> compare): at T=30 ECP
+    resolution the MC-dropout masks are ~1.4e9 elements/image, and the mask
+    bits' HBM traffic dominates the epistemic head cost (BENCH_NOTES.md) —
+    u16 halves that traffic.  Keep-prob quantization is <= 2**-16 (keep=0.9
+    becomes 58982/65536 = 0.899994), far below the MC noise floor at any
+    practical T.
+    """
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+    thresh = jnp.uint16(min(round(keep * 65536.0), 65535))
+    bits = jax.random.bits(rng, x.shape, jnp.uint16)
+    return jnp.where(bits < thresh, x / keep, jnp.zeros_like(x)).astype(x.dtype)
 
 
 def _bn_affine(gamma, beta, mean, var):
