@@ -79,6 +79,13 @@ class Config:
     use_pallas: bool = True  # fused Pallas decode kernels (TPU backend only)
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)
     max_boxes_per_img: int = 60  # static GT padding for the vectorized encoder
+    # multi-host (DCN) bring-up (SURVEY §5.8): set coordinator_address to
+    # "host:port" on every process to span hosts; meshes then cover all
+    # hosts' devices and each host's input pipeline reads its own shard
+    # subset (data/tfrecord.list_shards striping)
+    coordinator_address: str = ""
+    num_processes: int = 1
+    process_id: int = 0
 
     # ----------------------------------------------------------------------
     @property

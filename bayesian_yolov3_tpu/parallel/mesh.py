@@ -40,6 +40,20 @@ def initialize_distributed(**kwargs):
         logging.getLogger("byolo.mesh").info("distributed init skipped: %s", e)
 
 
+def maybe_initialize_from_config(config) -> bool:
+    """Multi-host bring-up from Config (SURVEY §5.8): no-op unless
+    ``coordinator_address`` is set; returns True when distributed mode is
+    active.  Must run before any mesh/device query."""
+    if not getattr(config, "coordinator_address", ""):
+        return False
+    initialize_distributed(
+        coordinator_address=config.coordinator_address,
+        num_processes=config.num_processes,
+        process_id=config.process_id,
+    )
+    return True
+
+
 def make_mesh(
     shape: Optional[Dict[str, int]] = None, devices: Optional[Sequence] = None
 ) -> Mesh:
@@ -69,6 +83,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Dict, axis: str = "data") -> Dict:
-    """Place a host batch dict with its leading dim sharded over ``axis``."""
+    """Place a host batch dict with its leading dim sharded over ``axis``.
+
+    Multi-host: each process passes its LOCAL slice of the global batch
+    (global_batch / process_count rows); the slices are assembled into one
+    global array (``jax.make_array_from_process_local_data``).  Single-host:
+    a plain sharded device_put.
+    """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a (host-identical) pytree over every device of ``mesh``.
+
+    Multi-host: every process must hold the same values (deterministic init
+    from a shared seed); assembled via make_array_from_process_local_data,
+    which for a replicated sharding expects the full array on each host.
+    """
+    sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
+    return jax.device_put(tree, sharding)
