@@ -1,0 +1,262 @@
+"""Training-quality parity: N Adam steps vs an independent TF2 oracle.
+
+VERDICT #2 / SURVEY §7 step 3: forward parity at random weights does not
+prove that *training* in this framework matches the reference (Adam + BN
+batch statistics + gradients through the full graph).  Here the TF2
+re-implementation from test_full_model_tf_parity.py is extended into a
+trainable twin — identical init, identical synthetic (img, gt) batches,
+the same loss operand-for-operand (lib_yolo/layers.py:126-188 + L2 reg
+model.py:21), tf.keras Adam(eps=1e-8) == optax.adam — and the per-step
+loss trajectories must agree.
+
+A second test quantifies the bf16-vs-f32 training drift that justifies the
+``compute_dtype="bfloat16"`` default (config.py); the measured TPU ablation
+lives in BENCH_NOTES.md.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesian_yolov3_tpu.core.blueprint import Variant, VariantSpec
+from bayesian_yolov3_tpu.core.priors import ECP_9_PRIORS
+from bayesian_yolov3_tpu.data import encode
+from bayesian_yolov3_tpu.models.yolov3 import YoloV3
+from bayesian_yolov3_tpu.ops import decode, loss as loss_ops
+from bayesian_yolov3_tpu.train.loop import merge_params, partition_params
+
+from test_full_model_tf_parity import _tf_darknet53, _tf_conv_block
+
+IMG = (64, 96, 3)
+LR = 1e-3
+STEPS = 6
+BATCH = 2
+
+
+def _make_data(rng, model):
+    """Fixed synthetic batches: images + GT encodings (shared by both
+    frameworks — the oracle isolates model/loss/optimizer math)."""
+    tables = encode.build_prior_tables(model.blueprint)
+    batches = []
+    for _ in range(STEPS):
+        imgs = rng.uniform(0, 1, (BATCH, *IMG)).astype(np.float32)
+        n = 3
+        yx = rng.uniform(0.05, 0.5, (BATCH, n, 2)).astype(np.float32)
+        hw = rng.uniform(0.15, 0.4, (BATCH, n, 2)).astype(np.float32)
+        bbox = np.concatenate([yx, np.minimum(yx + hw, 0.98)], axis=2)
+        label = rng.integers(0, 2, (BATCH, n)).astype(np.int32)
+        valid = np.ones((BATCH, n), bool)
+        gts = jax.vmap(
+            lambda b, l, v: encode.encode_boxes(b, l, v, tables, 0.7)
+        )(jnp.asarray(bbox), jnp.asarray(label), jnp.asarray(valid))
+        gts = jax.tree.map(np.asarray, gts)
+        batches.append((imgs, gts))
+    return batches
+
+
+def _jax_train(model, params0, stats0, batches, compute_dtype):
+    import optax
+
+    optimizer = optax.adam(LR)
+    trainable, frozen = partition_params(params0, True)
+    opt = optimizer.init(trainable)
+    stats = stats0
+    spec = model.spec
+
+    def loss_fn(tr, fr, st, imgs, gts):
+        p = merge_params(tr, fr)
+        raws, new_stats = model.forward(p, st, imgs, training=True)
+        dets = [decode.split_detection(r, spec) for r in raws]
+        total, metrics = loss_ops.total_loss(dets, gts, p, False)
+        return total, (metrics, new_stats)
+
+    model.compute_dtype = compute_dtype
+    step = jax.jit(
+        lambda tr, fr, st, o, imgs, gts: _step(tr, fr, st, o, imgs, gts)
+    )
+
+    def _step(tr, fr, st, o, imgs, gts):
+        (total, (_, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(tr, fr, st, imgs, gts)
+        updates, o = optimizer.update(grads, o, tr)
+        tr = optax.apply_updates(tr, updates)
+        return tr, new_stats, o, total, grads
+
+    losses = []
+    grads0 = None
+    for imgs, gts in batches:
+        trainable, stats, opt, total, grads = step(
+            trainable, frozen, stats, opt, jnp.asarray(imgs), gts
+        )
+        if grads0 is None:
+            grads0 = jax.tree.map(np.asarray, grads)
+        losses.append(float(total))
+    return losses, grads0
+
+
+def _tf_train(tf, model, params0, stats0, batches):
+    """TF2 trainable twin: frozen backbone as constants (moving-stat BN),
+    head convs as Variables with training-mode (batch-stats) BN."""
+    spec = model.spec
+
+    tvars = {}
+    for name, block in params0.items():
+        if name == "backbone":
+            continue
+        tvars[name] = {
+            k: tf.Variable(np.asarray(v), dtype=tf.float32)
+            for k, v in block.items()
+        }
+
+    backbone_p = params0["backbone"]
+    backbone_s = stats0["backbone"]
+    # constant w.r.t. training, but part of the L2 term (model.py:27)
+    backbone_sumsq = float(
+        sum(np.sum(np.square(np.asarray(b["w"]))) for b in backbone_p.values())
+    )
+
+    def head_conv_block(x, name):
+        p = tvars[name]
+        y = tf.nn.conv2d(x, p["w"], strides=1, padding="SAME")
+        mean, var = tf.nn.moments(y, axes=[0, 1, 2])  # biased, like jnp.var
+        y = tf.nn.batch_normalization(y, mean, var, p["beta"], p["gamma"], 1e-5)
+        return tf.nn.leaky_relu(y, alpha=0.1)
+
+    def forward(imgs):
+        out32, skip16, skip8 = _tf_darknet53(tf, backbone_p, backbone_s, imgs)
+        raws = []
+        x = out32
+        for head, skip in ((1, None), (2, skip16), (3, skip8)):
+            if skip is not None:
+                x = head_conv_block(x, f"trans{head - 1}")
+                sh = tf.shape(x)
+                x = tf.image.resize(x, (2 * sh[1], 2 * sh[2]), method="nearest")
+                x = tf.concat([x, skip], axis=-1)
+            branch = None
+            for j in range(6):
+                x = head_conv_block(x, f"head{head}_conv{j}")
+                if j == 4:
+                    branch = x
+            det = tvars[f"det{head}"]
+            raws.append(tf.nn.conv2d(x, det["w"], 1, "SAME") + det["b"])
+            x = branch
+        return raws
+
+    chpp = spec.head_channels_per_prior
+
+    def loss(imgs, gts):
+        raws = forward(imgs)
+        loc = obj = cls = tf.constant(0.0)
+        for raw, gt in zip(raws, gts):
+            b, h, w, _ = raw.shape
+            det = tf.reshape(raw, (b, h, w, 3, chpp))
+            d_loc, d_obj, d_cls = det[..., :4], det[..., 4], det[..., 5:]
+            batch = tf.cast(b, tf.float32)
+            loc += tf.reduce_sum(
+                tf.square(gt["loc"] - d_loc) * gt["obj"][..., None]
+            ) / (2.0 * batch)
+            obj += tf.reduce_sum(
+                tf.nn.sigmoid_cross_entropy_with_logits(
+                    labels=gt["obj"], logits=d_obj
+                ) * gt["ign"]
+            ) / batch
+            cls += tf.reduce_sum(
+                tf.nn.sparse_softmax_cross_entropy_with_logits(
+                    labels=tf.cast(gt["cls"], tf.int32), logits=d_cls
+                ) * gt["obj"]
+            ) / batch
+        sumsq = tf.constant(backbone_sumsq)
+        for name, block in tvars.items():
+            for k in ("w", "b"):
+                if k in block:
+                    sumsq += tf.reduce_sum(tf.square(block[k]))
+        reg = 5e-4 * 0.5 * sumsq
+        return loc + obj + cls + reg
+
+    opt = tf.keras.optimizers.Adam(LR, epsilon=1e-8)
+    named = [
+        (name, k, v) for name, block in tvars.items() for k, v in block.items()
+    ]
+    flat_vars = [v for _, _, v in named]
+    losses = []
+    grads0 = None
+    for imgs, gts in batches:
+        tf_gts = [
+            {k: tf.constant(np.asarray(v)) for k, v in gts[i].items()}
+            for i in range(3)
+        ]
+        with tf.GradientTape() as tape:
+            total = loss(tf.constant(imgs), tf_gts)
+        grads = tape.gradient(total, flat_vars)
+        if grads0 is None:
+            grads0 = {}
+            for (name, k, _), g in zip(named, grads):
+                grads0.setdefault(name, {})[k] = g.numpy()
+        opt.apply_gradients(zip(grads, flat_vars))
+        losses.append(float(total))
+    return losses, grads0
+
+
+def test_short_training_matches_tf2_oracle(rng):
+    """Identical init + batches -> training parity vs the TF2 twin:
+
+    1. step-1 loss identical (measured 3e-7 relative) — forward + loss
+       parity in TRAINING mode (batch-stats BN through the whole graph);
+    2. step-1 gradients of every head tensor match — the actual learning
+       signal is equivalent;
+    3. per-step Adam loss trajectories track loosely.  Exact trajectory
+       parity is unattainable: optax.adam and tf.keras Adam place epsilon
+       differently (sqrt(v_hat)+eps vs sqrt(v)+eps), which perturbs
+       near-zero-gradient params, and SGD paths separate chaotically
+       (measured: 0.26% at step 2, ~4% by step 6 — same order as the f32
+       noise floor, see test_bf16_training_tracks_f32).
+    """
+    tf = pytest.importorskip("tensorflow")
+    model = YoloV3(spec=VariantSpec(Variant.STANDARD, 2), priors=ECP_9_PRIORS,
+                   img_size=IMG, compute_dtype="float32")
+    params0, stats0 = model.init(jax.random.PRNGKey(0))
+    batches = _make_data(rng, model)
+
+    jax_losses, jax_grads = _jax_train(model, params0, stats0, batches, "float32")
+    tf_losses, tf_grads = _tf_train(tf, model, params0, stats0, batches)
+
+    np.testing.assert_allclose(jax_losses[0], tf_losses[0], rtol=1e-5)
+    for name, block in tf_grads.items():
+        for k, g_tf in block.items():
+            g_jax = np.asarray(jax_grads[name][k])
+            scale = max(float(np.abs(g_tf).max()), 1e-3)
+            np.testing.assert_allclose(
+                g_jax / scale, g_tf / scale, atol=2e-3,
+                err_msg=f"grad mismatch at {name}/{k}",
+            )
+    np.testing.assert_allclose(jax_losses, tf_losses, rtol=8e-2)
+    assert jax_losses[-1] < jax_losses[0]  # it actually trains
+
+
+def test_bf16_training_tracks_f32(rng):
+    """bf16 conv compute (the TPU default) must track the f32 trajectory.
+
+    Measured behavior: step-1 losses agree to ~0.1%; later steps diverge
+    chaotically (bf16 rounding perturbs the gradient, then trajectories
+    separate like any two nearby SGD paths) but stay within single-digit
+    percent and both decrease monotonically-ish.  This bounds the
+    precision-driven drift; the accuracy-level justification for the
+    default is the TF2 oracle above + the TPU ablation in BENCH_NOTES.md.
+    """
+    model = YoloV3(spec=VariantSpec(Variant.STANDARD, 2), priors=ECP_9_PRIORS,
+                   img_size=IMG, compute_dtype="float32")
+    params0, stats0 = model.init(jax.random.PRNGKey(0))
+    batches = _make_data(rng, model)
+
+    f32_losses, _ = _jax_train(model, params0, stats0, batches, "float32")
+    bf16_losses, _ = _jax_train(model, params0, stats0, batches, "bfloat16")
+    f32_losses = np.asarray(f32_losses)
+    bf16_losses = np.asarray(bf16_losses)
+    assert np.all(np.isfinite(bf16_losses))
+    # first step: pure forward/backward rounding, no trajectory divergence
+    np.testing.assert_allclose(bf16_losses[0], f32_losses[0], rtol=5e-3)
+    # whole trajectory: bounded drift, same descent
+    np.testing.assert_allclose(bf16_losses, f32_losses, rtol=1e-1)
+    assert bf16_losses[-1] < bf16_losses[0]
