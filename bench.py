@@ -116,7 +116,7 @@ def measure_cpu_baseline():
     jitted, params, stats, img = build_pipeline(
         backend="cpu", compute_dtype="float32", use_pallas=False
     )
-    ips = time_pipeline(jitted, params, stats, img, iters=1, warmup=1)
+    ips = time_pipeline(jitted, params, stats, img, iters=2, warmup=1)
     return ips
 
 
@@ -130,9 +130,11 @@ def main():
         cpu_ips = measure_cpu_baseline()
         baseline = {
             "cpu_images_per_sec": cpu_ips,
-            "note": "reference-strategy pipeline (f32, batch 1, T=30, "
-                    "1024x1920) jitted on host CPU; the TF-1.x reference is "
-                    "CPU-bound on this GPU-less machine",
+            "note": "JAX re-implementation of the reference STRATEGY (f32, "
+                    "batch 1, T=30, 1024x1920, sequential decode) jitted on "
+                    "the host CPU, 2 timed iters after warmup; the TF-1.x "
+                    "reference itself cannot run (tf.contrib gone, no GPU "
+                    "on this machine)",
         }
         with open(BASELINE_FILE, "w") as f:
             json.dump(baseline, f, indent=2)

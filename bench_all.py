@@ -92,9 +92,9 @@ def bench_batched(model, nb):
             ],
             axis=1,
         )
-        return jnp.sum(jax.vmap(
-            lambda fl: nms.nms_select(fl, obj_idx, 1000, 0.5, pre_top_k=8192)[2]
-        )(flat))
+        # production path: batched Pallas NMS (images on the kernel grid)
+        return jnp.sum(nms.nms_select_batch(
+            flat, obj_idx, 1000, 0.5, pre_top_k=8192, use_pallas=True)[2])
 
     j = jax.jit(fn)
     int(j(params, stats, img))
@@ -137,11 +137,174 @@ def bench_train():
             "config": "aleatoric crop 768x1440 batch 8 frozen backbone"}
 
 
+def _write_ecp_res_dataset(path, n_images, img_hw=(1024, 1920)):
+    """Synthetic ECP-resolution tfrecords (smooth images -> fast PNG encode)."""
+    import io
+
+    from PIL import Image
+
+    from bayesian_yolov3_tpu.data import proto, tfrecord
+
+    os.makedirs(path, exist_ok=True)
+    h, w = img_hw
+    base = (
+        np.linspace(0, 160, w, dtype=np.float32)[None, :, None]
+        + np.linspace(0, 60, h, dtype=np.float32)[:, None, None]
+    ).astype(np.uint8).repeat(3, axis=2)
+    fname = os.path.join(path, "bench-00000-of-00001.tfrecord")
+    with tfrecord.TFRecordWriter(fname) as wr:
+        for i in range(n_images):
+            img = base.copy()
+            img[100 + 7 * i : 400 + 7 * i, 200 + 11 * i : 350 + 11 * i] = [220, 60, 60]
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            wr.write(proto.encode_example({
+                "image/encoded": [buf.getvalue()],
+                "image/height": np.asarray([h], np.int64),
+                "image/width": np.asarray([w], np.int64),
+                "image/filename": [f"bench_{i:04d}.png".encode()],
+                "image/object/bbox/ymin": np.asarray([0.1], np.float32),
+                "image/object/bbox/xmin": np.asarray([0.1], np.float32),
+                "image/object/bbox/ymax": np.asarray([0.4], np.float32),
+                "image/object/bbox/xmax": np.asarray([0.2], np.float32),
+                "image/object/class/label": np.asarray([1], np.int64),
+            }))
+    return os.path.join(path, "bench-*-of-00001.tfrecord")
+
+
+def bench_runner_aleatoric(nb=11, n_images=22):
+    """End-to-end through the production InferenceRunner (VERDICT #1):
+    tfrecords -> batched forward -> fused decode -> batched Pallas NMS ->
+    ECP JSON files, including the host loop and the async writer."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from bayesian_yolov3_tpu.config import Config, DataConfig
+    from bayesian_yolov3_tpu.infer.runner import InferenceRunner
+    from bayesian_yolov3_tpu.train import loop as train_loop
+
+    tmp = tempfile.mkdtemp(prefix="bench_runner_")
+    try:
+        pattern = _write_ecp_res_dataset(os.path.join(tmp, "data"), n_images)
+        cfg = Config(model="aleatoric", full_img_size=FULL, batch_size=nb,
+                     darknet53_weights="", checkpoint_path=os.path.join(tmp, "ckpt"),
+                     run_id="bench", data=DataConfig(file_pattern=pattern))
+        # seed a checkpoint (random weights; the bench measures throughput)
+        trainer_state = train_loop.init_state(
+            train_loop.YoloV3.from_config(cfg), cfg, jax.random.PRNGKey(0),
+            train_loop.optax.adam(cfg.lr))
+        from bayesian_yolov3_tpu.train.checkpoints import CheckpointStore
+        store = CheckpointStore(cfg.checkpoint_path, cfg.run_id, 1)
+        store.save(1, jax.tree_util.tree_map(np.asarray, trainer_state), force=True)
+        store.close()
+
+        runner = InferenceRunner(cfg)
+        cfg.out_path = os.path.join(tmp, "warm")
+        runner.run()  # compile + warm
+        cfg.out_path = os.path.join(tmp, "out")
+        t0 = time.time()
+        out_dir = runner.run()
+        dt = time.time() - t0
+        import glob as globlib
+        n_json = len(globlib.glob(os.path.join(out_dir, "*.json")))
+        assert n_json == n_images, (n_json, n_images)
+        return {"img_per_sec": n_images / dt, "ms_per_img": dt * 1000 / n_images,
+                "batch": nb, "ecp_json_files": n_json,
+                "note": "production InferenceRunner.run() incl. host pipeline"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_train_from_tfrecords(steps=8, n_images=16):
+    """Training fed from real tfrecords through TrainLoader (VERDICT #3):
+    host parse/decode (cpu_thread_cnt pool) + device step, steady state."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from bayesian_yolov3_tpu.config import Config, DataConfig
+    from bayesian_yolov3_tpu.train import loop as train_loop
+    from bayesian_yolov3_tpu.data import pipeline
+
+    tmp = tempfile.mkdtemp(prefix="bench_traintf_")
+    try:
+        pattern = _write_ecp_res_dataset(os.path.join(tmp, "data"), n_images)
+        cfg = Config(model="aleatoric", crop=True, full_img_size=FULL,
+                     crop_img_size=(768, 1440, 3), batch_size=8,
+                     max_boxes_per_img=60, darknet53_weights="",
+                     train=DataConfig(file_pattern=pattern, shuffle_buffer_size=8,
+                                      cache=True),
+                     val=DataConfig(file_pattern=pattern, shuffle_buffer_size=2))
+        from bayesian_yolov3_tpu.data import encode
+        from bayesian_yolov3_tpu.models.yolov3 import YoloV3
+        m = YoloV3.from_config(cfg)
+        tables = encode.build_prior_tables(m.blueprint)
+        step_fn, _, opt = train_loop.make_train_step(m, cfg, tables)
+        state = train_loop.init_state(m, cfg, jax.random.PRNGKey(0), opt)
+        loader = pipeline.TrainLoader(cfg, "train", seed=1)
+        it = loader.batches()
+        j = jax.jit(step_fn, donate_argnums=(0,))
+        key = jax.random.key(0, impl="rbg")
+        import jax.numpy as jnp
+        for _ in range(2):  # compile + warm the record cache
+            state, metrics = j(state, {k: jnp.asarray(v) for k, v in next(it).items()}, key)
+        float(metrics["total"])
+        t0 = time.time()
+        last = None
+        for _ in range(steps):
+            state, metrics = j(state, {k: jnp.asarray(v) for k, v in next(it).items()}, key)
+            if last is not None:
+                float(last["total"])  # 1-deep pipelined fetch, like the Trainer
+            last = metrics
+        float(last["total"])
+        dt = (time.time() - t0) / steps
+        loader.close()
+        return {"ms_per_step": dt * 1000, "img_per_sec": 8 / dt,
+                "note": f"fed from tfrecords (cpu_thread_cnt={cfg.cpu_thread_cnt} "
+                        f"on a {os.cpu_count()}-core host)"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_nms_full_anchor():
+    """Exact full-anchor Pallas NMS (VERDICT #6): all ~121k ECP anchors in
+    VMEM, no pre-top-k, vs the 8192 pre-top-k default."""
+    import jax
+    import jax.numpy as jnp
+    from bayesian_yolov3_tpu.ops import nms
+
+    n = 120960
+    rng = np.random.default_rng(0)
+    decoded = np.zeros((n, 6), np.float32)
+    yx = rng.uniform(0, 0.95, (n, 2))
+    hw = rng.uniform(0.02, 0.1, (n, 2))
+    decoded[:, :4] = np.concatenate([yx, yx + hw], axis=1)
+    decoded[:, 4] = 1.0 / (1.0 + np.exp(-rng.normal(-4.0, 1.5, n)))
+    d = jnp.asarray(decoded)
+    out = {}
+    for name, k in (("full_anchor_exact", 0), ("pre_top_k_8192", 8192)):
+        fn = jax.jit(lambda x, k=k: nms.nms_select(
+            x, obj_idx=4, max_out=1000, pre_top_k=k, use_pallas=True)[2])
+        int(fn(d))
+        t0 = time.time()
+        iters = 5
+        for _ in range(iters):
+            int(fn(d))
+        out[name] = {"ms": (time.time() - t0) / iters * 1000}
+    return out
+
+
 def main():
     results = {"epistemic_T30_batch1": bench_epistemic()}
     results["aleatoric_batch11"] = bench_batched("aleatoric", 11)
     results["standard_batch11"] = bench_batched("standard", 11)
     results["train_step"] = bench_train()
+    results["runner_aleatoric_batch11_e2e"] = bench_runner_aleatoric()
+    results["train_from_tfrecords"] = bench_train_from_tfrecords()
+    results["nms_full_anchor"] = bench_nms_full_anchor()
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
