@@ -226,11 +226,15 @@ def test_short_training_matches_tf2_oracle(rng):
     for name, block in tf_grads.items():
         for k, g_tf in block.items():
             g_jax = np.asarray(jax_grads[name][k])
-            scale = max(float(np.abs(g_tf).max()), 1e-3)
-            np.testing.assert_allclose(
-                g_jax / scale, g_tf / scale, atol=2e-3,
-                err_msg=f"grad mismatch at {name}/{k}",
-            )
+            # relative L2: robust to elementwise f32 conv-backward noise.
+            # Refereed against an f64 JAX gradient: TF's own f32 gradient is
+            # 0.79% rel-L2 from the f64 truth on the deepest tensor
+            # (head1_conv0/w), so two correct f32 implementations ~0.8% from
+            # truth in independent directions sit ~1.2% apart — the measured
+            # jax-vs-tf value.  2.5% cleanly separates that noise floor from
+            # a semantic bug (wrong BN/pad/mask => tens of percent).
+            rel = np.linalg.norm(g_jax - g_tf) / max(np.linalg.norm(g_tf), 1e-6)
+            assert rel < 2.5e-2, f"grad mismatch at {name}/{k}: rel L2 {rel:.2e}"
     np.testing.assert_allclose(jax_losses, tf_losses, rtol=8e-2)
     assert jax_losses[-1] < jax_losses[0]  # it actually trains
 
