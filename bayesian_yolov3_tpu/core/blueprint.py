@@ -28,9 +28,14 @@ class VariantSpec:
 
     Decoded layouts (parity with lib_yolo/layers.py):
 
-    * standard  (decode_bbox_standard, layers.py:191-258), width ``5 + C``::
+    * standard  (decode_bbox_standard, layers.py:191-258), width ``7 + C``::
 
-        [y0, x0, y1, x1, obj, cls_0..cls_{C-1}]
+        [y0, x0, y1, x1, obj, cls_0..cls_{C-1}, layer_id, prior_id]
+
+      (the reference's own tensor is width 5+C; its JSON writer then reads
+      ``layer_id``/``prior_id`` from the wrong columns,
+      inference_standard_yolov3.py:175-176 — we carry real id columns so the
+      keys are emitted with correct values; a documented quirk fix)
 
     * aleatoric (decode_bbox_aleatoric, layers.py:261-346), width ``14 + C``::
 
@@ -78,7 +83,7 @@ class VariantSpec:
             return 21 + self.cls_cnt
         if self.aleatoric_head:
             return 14 + self.cls_cnt
-        return 5 + self.cls_cnt
+        return 7 + self.cls_cnt
 
     def obj_idx(self, epistemic: bool = False) -> int:
         if epistemic:

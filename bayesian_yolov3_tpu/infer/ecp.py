@@ -13,6 +13,11 @@ the implicit-background +1 shift re-applied (detect.py:44-45).
 
 Documented quirk fixes (the reference reads wrong columns):
 
+* standard: the reference emits ``layer_id``/``prior_id`` read from the
+  last two CLASS-SCORE columns (inference_standard_yolov3.py:175-176 on a
+  5+C-wide tensor).  We keep the keys — downstream ECP tooling may expect
+  them — but write correct values from the real id columns our standard
+  decode appends (ops/decode.py:decode_bbox_standard, width 7+C).
 * aleatoric: the reference writes ``cls_entropy``, ``layer_id`` and
   ``prior_id`` all from the SAME column (inference_aleatoric.py:172-174);
   we write the actual cls_entropy / layer_id / prior_id columns.
@@ -102,6 +107,8 @@ def bbox_to_ecp_format(
         out.update(
             score=float(bbox[obj_idx]) * float(bbox[cls_start + cls_idx]),
             cls_scores=cls_scores.tolist(),
+            layer_id=float(bbox[cls_start + C]),
+            prior_id=float(bbox[cls_start + C + 1]),
         )
 
     out["identity"] = cls_names.get(cls, cls)

@@ -130,8 +130,7 @@ class InferenceRunner:
             elif self.spec.aleatoric_head:
                 decoded.append(decode.decode_bbox_aleatoric(det, pri, layer_id=i))
             else:
-                d = decode.decode_bbox_standard(det, pri)
-                decoded.append(d)
+                decoded.append(decode.decode_bbox_standard(det, pri, layer_id=i))
         return decoded
 
     def _use_fused_kernels(self) -> bool:

@@ -118,12 +118,24 @@ def _decode_corners(loc, priors_hw):
 # --------------------------------------------------------------------------
 
 
-def decode_bbox_standard(det: Dict, priors_hw) -> jnp.ndarray:
-    """(..., h, w, B, 5+C): [y0,x0,y1,x1, obj, cls...] (layers.py:191-258)."""
+def decode_bbox_standard(det: Dict, priors_hw, layer_id: int = 0) -> jnp.ndarray:
+    """(..., h, w, B, 7+C): [y0,x0,y1,x1, obj, cls..., layer_id, prior_id].
+
+    Columns 0..4+C match the reference (layers.py:191-258, width 5+C).
+    Documented deviation: the reference's standard JSON writer emits
+    ``layer_id``/``prior_id`` keys read from the wrong columns (the last two
+    class scores — inference_standard_yolov3.py:175-176).  We append real id
+    columns so the keys can be written with correct values; every consumer
+    indexes from the front (obj_idx=4, cls_start=5), so the extra trailing
+    columns are invisible to the rest of the decode math.
+    """
     corners = _decode_corners(det["loc"], priors_hw)
     obj = jax.nn.sigmoid(det["obj"])[..., None]
     cls = jax.nn.softmax(det["cls"], axis=-1)
-    return jnp.concatenate([corners, obj, cls], axis=-1)
+    ones = jnp.ones_like(obj)
+    return jnp.concatenate(
+        [corners, obj, cls, layer_id * ones, _prior_id_like(ones)], axis=-1
+    )
 
 
 def decode_bbox_aleatoric(det: Dict, priors_hw, layer_id: int) -> jnp.ndarray:

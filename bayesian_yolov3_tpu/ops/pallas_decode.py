@@ -69,7 +69,9 @@ def _kernel(x_ref, xoff_ref, yoff_ref, pri_ref, out_ref, *, C, lw, lh,
                  jnp.full_like(obj, float(layer_id)),
                  jnp.full_like(obj, 1.0) * b_idx.astype(jnp.float32)]
     else:
-        rows += [obj, *cls]
+        rows += [obj, *cls,
+                 jnp.full_like(obj, float(layer_id)),
+                 jnp.full_like(obj, 1.0) * b_idx.astype(jnp.float32)]
     out_ref[0] = jnp.stack(rows, axis=0)
 
 
@@ -90,8 +92,10 @@ def fused_box_decode_cf(
 ):
     """raw_cf (B*chpp, batch, hw) f32 -> (batch, B*hw, width) f32.
 
-    width = 14+C (aleatoric, layers.py:261-346) or 5+C (standard,
-    layers.py:191-258); rows are in the reference's concat_bbox order.
+    width = 14+C (aleatoric, layers.py:261-346) or 7+C (standard — the
+    reference's 5+C plus real layer/prior id columns, see
+    decode.decode_bbox_standard); rows are in the reference's concat_bbox
+    order.
     """
     ch, nb, hw = raw_cf.shape
     B = priors_hw.shape[0]
@@ -99,7 +103,7 @@ def fused_box_decode_cf(
     C = cls_cnt
     expected = 2 * (5 + C) if aleatoric else (5 + C)
     assert chpp == expected, (chpp, expected)
-    width = (14 + C) if aleatoric else (5 + C)
+    width = (14 + C) if aleatoric else (7 + C)
     assert hw == h * w
 
     x = raw_cf.reshape(B, chpp, nb, hw).astype(jnp.float32)

@@ -22,10 +22,14 @@ def test_decode_standard_matches_oracle(rng):
     spec = VariantSpec(Variant.STANDARD, C)
     raw = _raw(rng, 4, 6, spec, lead=(2,))
     det = decode.split_detection(jnp.asarray(raw), spec)
-    got = np.asarray(decode.decode_bbox_standard(det, jnp.asarray(PRIORS)))
+    got = np.asarray(decode.decode_bbox_standard(det, jnp.asarray(PRIORS), layer_id=1))
     want = oracles.decode_standard(raw, C, PRIORS)
-    assert got.shape == (2, 4, 6, 3, 5 + C)
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # columns 0..4+C are the reference layout (width 5+C); the trailing
+    # layer_id/prior_id columns are the documented quirk fix
+    assert got.shape == (2, 4, 6, 3, 7 + C)
+    np.testing.assert_allclose(got[..., : 5 + C], want, rtol=1e-5, atol=1e-6)
+    assert np.all(got[..., -2] == 1)
+    assert np.all(got[..., 0, -1] == 0) and np.all(got[..., 2, -1] == 2)
 
 
 def test_decode_aleatoric_matches_oracle(rng):

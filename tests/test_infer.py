@@ -41,7 +41,7 @@ def _trained_checkpoint(tmp_path, rng, model, **kw):
 
 
 @pytest.mark.parametrize("model,inference_mode,width", [
-    ("standard", False, 7),
+    ("standard", False, 9),
     ("aleatoric", False, 16),
     ("bayesian", True, 23),
 ])
@@ -65,6 +65,11 @@ def test_runner_writes_ecp_json(tmp_path, rng, model, inference_mode, width):
     if dets:
         d = dets[0]
         assert {"y0", "x0", "y1", "x1", "score", "identity", "cls_scores"} <= set(d)
+        if model == "standard":
+            # quirk-fixed keys the reference emits from wrong columns
+            assert {"layer_id", "prior_id"} <= set(d)
+            assert d["layer_id"] in (0.0, 1.0, 2.0)
+            assert d["prior_id"] in (0.0, 1.0, 2.0)
         if model == "aleatoric":
             assert {"x_var", "total_var", "obj_entropy", "cls_entropy",
                     "layer_id", "prior_id"} <= set(d)
@@ -96,8 +101,10 @@ def test_ecp_format_epistemic_columns(rng):
 
 def test_ecp_format_standard_no_uncertainty_fields():
     spec = VariantSpec(Variant.STANDARD, 2)
-    row = np.asarray([0.1, 0.2, 0.3, 0.4, 0.9, 0.8, 0.2], np.float32)
+    row = np.asarray([0.1, 0.2, 0.3, 0.4, 0.9, 0.8, 0.2, 1.0, 2.0], np.float32)
     d = ecp.bbox_to_ecp_format(row, (64, 96, 3), spec)
     assert "x_var" not in d and "obj_entropy" not in d
     assert d["identity"] == "pedestrian"
     assert d["score"] == pytest.approx(0.9 * 0.8)
+    # the keys the reference writes (from wrong columns) — here correct
+    assert d["layer_id"] == 1.0 and d["prior_id"] == 2.0

@@ -175,8 +175,9 @@ def test_pre_top_k_exactness_on_trained_model_decodes(rng, tmp_path):
     for i, (raw, stride) in enumerate(zip(raws, (32, 16, 8))):
         det = decode.split_detection(raw, m.spec)
         decoded.append(decode.decode_bbox_standard(
-            jax.tree.map(lambda x: x[0], det), jnp.asarray(pri[stride])))
-    flat = decode.concat_all_scales(decoded)  # (378, 7) at this resolution
+            jax.tree.map(lambda x: x[0], det), jnp.asarray(pri[stride]),
+            layer_id=i))
+    flat = decode.concat_all_scales(decoded)  # (378, 9) at this resolution
     # pre_top_k = 8 * max_out, the documented safety margin
     full = nms.nms_select(flat, obj_idx=4, max_out=16, pre_top_k=0)
     fast = nms.nms_select(flat, obj_idx=4, max_out=16, pre_top_k=128)

@@ -53,7 +53,7 @@ def test_fused_box_decode_matches_xla_path(rng, aleatoric):
     if aleatoric:
         ref = decode.decode_bbox_aleatoric(det, jnp.asarray(PRIORS), layer_id=1)
     else:
-        ref = decode.decode_bbox_standard(det, jnp.asarray(PRIORS))
+        ref = decode.decode_bbox_standard(det, jnp.asarray(PRIORS), layer_id=1)
     # per-element flatten in reference concat order: (nb, B*hw, width)
     want = np.stack([
         np.asarray(ref[b]).transpose(2, 0, 1, 3).reshape(3 * h * w, -1)
