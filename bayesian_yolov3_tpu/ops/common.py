@@ -37,18 +37,21 @@ def leaky_relu(x, alpha: float = LEAKY_ALPHA):
     return jnp.where(x >= 0, x, alpha * x)
 
 
-def conv2d(x, w, *, stride: int = 1, darknet_pad: bool = True):
+def conv2d(x, w, *, stride: int = 1, darknet_pad: bool = True, padding=None):
     """2D conv, no bias.  kernel_size in {1,3}, stride in {1,2}.
 
     stride-1: SAME padding.  stride-2: explicit (1,1)x(1,1) zero pad then
     VALID — darknet/caffe semantics (reference layers.py:527-542,616-635).
+    An explicit ``padding`` (lax-style pair list) overrides both.
 
     Precision: with float32 operands the MXU/oneDNN default silently drops
     to bf16 passes; full-precision mode must be explicit.  bf16 operands use
     the fast default path with f32 accumulation (preferred_element_type).
     """
     k = w.shape[0]
-    if stride == 1:
+    if padding is not None:
+        pass
+    elif stride == 1:
         padding = "SAME"
     elif darknet_pad:
         assert k == 3, "stride-2 darknet conv requires 3x3 kernel"
@@ -70,21 +73,44 @@ def conv2d(x, w, *, stride: int = 1, darknet_pad: bool = True):
     )
 
 
-def dropout(x, rate: float, rng):
+def dropout(x, rate: float, rng, impl: str = "hash"):
     """Inverted dropout (tf.layers.dropout semantics, layers.py:521-524).
 
-    The Bernoulli draw is a 16-bit integer threshold compare instead of the
-    default float path (uint32 bits -> f32 uniform -> compare): at T=30 ECP
-    resolution the MC-dropout masks are ~1.4e9 elements/image, and the mask
-    bits' HBM traffic dominates the epistemic head cost (BENCH_NOTES.md) —
-    u16 halves that traffic.  Keep-prob quantization is <= 2**-16 (keep=0.9
-    becomes 58982/65536 = 0.899994), far below the MC noise floor at any
-    practical T.
+    ``impl="hash"`` (default): the Bernoulli draw is a fused elementwise
+    hash of (flat_index ^ key32) — lowbias32 finalizer rounds, low 16 bits
+    compared against the keep threshold.  At T=30 ECP resolution the
+    MC-dropout masks are ~1.4e9 elements/image; a materialized random-bits
+    buffer costs its HBM round trip per dropout site, while the hash fuses
+    into the surrounding elementwise graph with ZERO mask memory traffic
+    (measured 3.7x cheaper at the dominant head-3 site, BENCH_NOTES.md).
+    lowbias32 is a bijection on u32 with near-ideal avalanche; dropout
+    needs uniform marginals and no structural correlation with the data,
+    both of which hold (statistical tests in tests/test_mc_dropout.py).
+
+    ``impl="bits"``: the prior path — a u16 ``jax.random.bits`` buffer
+    thresholded per element (kept for A/B measurement and as the
+    conservative fallback).
+
+    Keep-prob quantization is <= 2**-16 either way (keep=0.9 becomes
+    58982/65536 = 0.899994), far below the MC noise floor at any
+    practical T.  Same (key, shape) -> same mask: reproducible.
     """
     keep = 1.0 - rate
-    thresh = jnp.uint16(min(round(keep * 65536.0), 65535))
-    bits = jax.random.bits(rng, x.shape, jnp.uint16)
-    return jnp.where(bits < thresh, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+    if impl == "bits":
+        thresh = jnp.uint16(min(round(keep * 65536.0), 65535))
+        bits = jax.random.bits(rng, x.shape, jnp.uint16)
+        return jnp.where(bits < thresh, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+    assert impl == "hash", impl
+    thresh = jnp.uint32(min(round(keep * 65536.0), 65535))
+    key = jax.random.bits(rng, (), jnp.uint32)  # one scalar draw per site
+    idx = jax.lax.iota(jnp.uint32, x.size).reshape(x.shape)
+    h = idx ^ key
+    h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
+    h = (h ^ (h >> 15)) * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return jnp.where(
+        (h & jnp.uint32(0xFFFF)) < thresh, x / keep, jnp.zeros_like(x)
+    ).astype(x.dtype)
 
 
 def _bn_affine(gamma, beta, mean, var):

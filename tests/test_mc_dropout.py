@@ -54,14 +54,45 @@ def test_exact_parity_with_injected_masks(monkeypatch):
     np.testing.assert_array_equal(np.asarray(raws[0]), np.asarray(raws2[0]))
 
 
-def test_dropout_mask_statistics(rng):
+@pytest.mark.parametrize("impl", ["hash", "bits"])
+def test_dropout_mask_statistics(rng, impl):
     """Inverted-dropout contract: E[out] = x, zeros fraction ~ rate."""
     x = jnp.ones((64, 64), jnp.float32)
-    out = np.asarray(common.dropout(x, 0.1, jax.random.PRNGKey(0)))
+    out = np.asarray(common.dropout(x, 0.1, jax.random.PRNGKey(0), impl=impl))
     zero_frac = (out == 0).mean()
     assert 0.05 < zero_frac < 0.15
     np.testing.assert_allclose(out[out != 0], 1.0 / 0.9, rtol=1e-6)
     np.testing.assert_allclose(out.mean(), 1.0, atol=0.02)
+
+
+def test_hash_dropout_statistical_quality():
+    """The fused-hash Bernoulli draw (ops.common.dropout impl='hash') must
+    behave like iid Bernoulli(keep): keep-rate tight at large N, masks
+    reproducible per key, decorrelated across keys, and decorrelated along
+    the index axis within one mask (lag-1 .. lag-3 autocovariance)."""
+    n = 1 << 20
+    x = jnp.ones((n,), jnp.float32)
+    k1, k2 = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+    m1 = (np.asarray(common.dropout(x, 0.1, k1)) != 0).astype(np.float64)
+    m1b = (np.asarray(common.dropout(x, 0.1, k1)) != 0).astype(np.float64)
+    m2 = (np.asarray(common.dropout(x, 0.1, k2)) != 0).astype(np.float64)
+
+    # keep-rate: binomial std at n=2^20, p=0.9 is ~2.9e-4 -> 5 sigma gate
+    assert abs(m1.mean() - 0.9) < 1.5e-3, m1.mean()
+    np.testing.assert_array_equal(m1, m1b)  # same key -> same mask
+    assert (m1 != m2).mean() > 0.1  # different key -> different mask
+
+    def corr(a, b):
+        a = a - a.mean()
+        b = b - b.mean()
+        return float((a * b).mean() / np.sqrt((a * a).mean() * (b * b).mean()))
+
+    # cross-key correlation ~ 0 (5 sigma of 1/sqrt(n) ~ 5e-3)
+    assert abs(corr(m1, m2)) < 5e-3
+    # within-mask autocorrelation at small lags ~ 0 (adjacent activations
+    # share conv windows, so index-local structure would bias the MC stats)
+    for lag in (1, 2, 3, 64):
+        assert abs(corr(m1[:-lag], m1[lag:])) < 5e-3, lag
 
 
 def test_epistemic_variance_positive_and_vanishes_without_dropout():

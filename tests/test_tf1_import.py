@@ -92,7 +92,10 @@ def test_import_real_reference_checkpoint_and_match_forward(tmp_path, variant):
         # O(1)), so gate on the outlier FRACTION plus a loose max.
         diff = np.abs(g - want) / np.maximum(np.abs(want), 1.0)
         assert np.median(diff) < 1e-4, float(np.median(diff))
-        assert np.mean(diff > 5e-3) < 1e-3, float(np.mean(diff > 5e-3))
+        # allow a couple of absolute outliers in the small heads (a wrong
+        # mapping corrupts a whole channel = at least h*w >= 6 elements)
+        n_out = int((diff > 5e-3).sum())
+        assert n_out <= max(2, int(1e-3 * diff.size)), (n_out, diff.size)
         assert np.max(diff) < 5e-2, float(np.max(diff))
 
 
