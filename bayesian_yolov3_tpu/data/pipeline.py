@@ -213,28 +213,37 @@ class TrainLoader:
         self._prefetcher: Optional[_Prefetcher] = None
 
     def _epochs(self) -> Iterator[Dict]:
-        cache: Optional[List[bytes]] = [] if self.split_cfg.cache else None
+        """parse -> [cache] -> shuffle -> repeat, the reference's stage order
+        (create_dataset parses then ``.cache()``, dataset_utils.py:98-110;
+        TrainValDataset shuffles after).  The cache therefore holds PARSED
+        elements — decoded uint8 images + padded GT — so steady-state epochs
+        skip record parse and PNG decode entirely (the reference caches the
+        decoded f32 image, ~4x more host RAM than our uint8)."""
+        cache: Optional[List[Dict]] = [] if self.split_cfg.cache else None
         first = True
         while True:  # .repeat()
             if cache is not None and not first:
-                records: Iterator[bytes] = iter(cache)
+                parsed_it: Iterator[Dict] = iter(cache)
             else:
                 records = tfrecord.read_shards(
                     self.split_cfg.file_pattern, shuffle_rng=self.rng,
                     shard_index=self.host_index, shard_count=self.host_count,
                 )
+                # parse + PNG decode fan out over cpu_thread_cnt threads
+                # (parity dataset_utils.py:106 num_parallel_calls)
+                parsed_it = parallel_map(
+                    lambda rec: _pad(
+                        parse_example(rec, self.config),
+                        self.config.max_boxes_per_img,
+                    ),
+                    records,
+                    self.config.cpu_thread_cnt,
+                )
                 if cache is not None:
-                    records = self._caching_iter(records, cache)
-            shuffled = ShuffleBuffer(self.split_cfg.shuffle_buffer_size, self.rng)(records)
-            # parse + PNG decode fan out over cpu_thread_cnt threads
-            # (parity dataset_utils.py:106 num_parallel_calls)
-            yield from parallel_map(
-                lambda rec: _pad(
-                    parse_example(rec, self.config), self.config.max_boxes_per_img
-                ),
-                shuffled,
-                self.config.cpu_thread_cnt,
-            )
+                    parsed_it = self._caching_iter(parsed_it, cache)
+            yield from ShuffleBuffer(
+                self.split_cfg.shuffle_buffer_size, self.rng
+            )(parsed_it)
             first = False
 
     @staticmethod

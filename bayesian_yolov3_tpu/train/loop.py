@@ -197,10 +197,18 @@ class Trainer:
         return state
 
     def _place_batch(self, batch):
+        """Start the (asynchronous) host->device placement of a batch.
+
+        ``jax.device_put`` returns immediately; issuing it one step ahead of
+        the dispatch that consumes it (see the prefetch in ``run``) overlaps
+        the batch transfer with the in-flight training step — full-frame
+        uint8 batches are tens of MB, which a synchronous transfer would
+        serialize into every step.
+        """
         batch = {k: v for k, v in batch.items() if k != "filename"}
         if self.mesh is not None:
             return mesh_lib.shard_batch(self.mesh, batch)
-        return batch
+        return jax.device_put(batch)
 
     # -- loop -----------------------------------------------------------
 
@@ -264,11 +272,14 @@ class Trainer:
             return False
 
         try:
+            # one batch prefetched to device ahead of its step (the loader
+            # repeats forever, so the extra pull past train_steps is fine)
+            pending = self._place_batch(next(train_it))
             while step < cfg.train_steps:
                 step += 1
                 timer.tick()
-                batch = self._place_batch(next(train_it))
-                state, metrics = self._jit_train(state, batch, key)
+                state, metrics = self._jit_train(state, pending, key)
+                pending = self._place_batch(next(train_it))
                 inflight.append((step, metrics))
                 if len(inflight) >= 2 and drain_one():
                     break

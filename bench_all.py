@@ -248,16 +248,19 @@ def bench_train_from_tfrecords(steps=8, n_images=16):
         it = loader.batches()
         j = jax.jit(step_fn, donate_argnums=(0,))
         key = jax.random.key(0, impl="rbg")
-        import jax.numpy as jnp
-        for _ in range(2):  # compile + warm the record cache
-            state, metrics = j(state, {k: jnp.asarray(v) for k, v in next(it).items()}, key)
+        for _ in range(2):  # compile + warm the parsed-element cache
+            state, metrics = j(state, jax.device_put(next(it)), key)
         float(metrics["total"])
         t0 = time.time()
         last = None
+        # Trainer-style feed: next batch device_put'd while the current
+        # step runs; metric fetch one step behind
+        pending = jax.device_put(next(it))
         for _ in range(steps):
-            state, metrics = j(state, {k: jnp.asarray(v) for k, v in next(it).items()}, key)
+            state, metrics = j(state, pending, key)
+            pending = jax.device_put(next(it))
             if last is not None:
-                float(last["total"])  # 1-deep pipelined fetch, like the Trainer
+                float(last["total"])
             last = metrics
         float(last["total"])
         dt = (time.time() - t0) / steps

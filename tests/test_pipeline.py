@@ -106,3 +106,28 @@ def test_parallel_map_preserves_order_and_errors():
 
     with pytest.raises(ValueError):
         list(pipeline.parallel_map(boom, range(10), workers=4))
+
+
+def test_cache_skips_decode_after_first_epoch(dataset, monkeypatch):
+    """cache=True holds PARSED elements (reference caches post-parse,
+    dataset_utils.py:98-110): PNG decode must run exactly once per image
+    across many epochs, and later epochs must replay the same element set."""
+    cfg = _config(dataset)
+    cfg.train.cache = True
+    calls = {"n": 0}
+    real = pipeline.decode_png
+
+    def counting(data):
+        calls["n"] += 1
+        return real(data)
+
+    monkeypatch.setattr(pipeline, "decode_png", counting)
+    loader = pipeline.TrainLoader(cfg, "train", seed=3)
+    it = loader.batches()
+    seen = [next(it) for _ in range(9)]  # 3 epochs of 6 imgs at batch 2
+    loader.close()
+    assert calls["n"] == 6, calls["n"]
+    # every epoch yields the same image multiset (shuffled order)
+    sums = sorted(int(b["image"][i].sum()) for b in seen[:3] for i in range(2))
+    sums2 = sorted(int(b["image"][i].sum()) for b in seen[3:6] for i in range(2))
+    assert sums == sums2
