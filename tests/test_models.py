@@ -127,3 +127,52 @@ def test_config_blueprint_and_crop_priors():
     got = priors_as_array(cfg.resolved_priors())[32]
     np.testing.assert_allclose(got[:, 0], base[:, 0] * 1024 / 768, rtol=1e-6)
     np.testing.assert_allclose(got[:, 1], base[:, 1] * 1920 / 1440, rtol=1e-6)
+
+
+def test_fast_stem_matches_plain_backbone(rng):
+    """The space-to-depth stem (conv1 + stride-2 conv2 folded into dense
+    s2d-domain convs, models/darknet.py:_stem_kernels) must compute the
+    SAME function as the plain path — checked through the entire backbone
+    with randomized BN statistics so the affine isn't identity."""
+    params, stats = darknet.init_darknet53(jax.random.PRNGKey(3))
+    for i in range(2):
+        n = darknet._conv_name(i)
+        c = params[n]["gamma"].shape[0]
+        params[n]["gamma"] = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32)
+        params[n]["beta"] = jnp.asarray(rng.normal(0, 0.2, c), jnp.float32)
+        stats[n]["mean"] = jnp.asarray(rng.normal(0, 0.2, c), jnp.float32)
+        stats[n]["var"] = jnp.asarray(rng.uniform(0.5, 2.0, c), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 96, 3)), jnp.float32)
+    fast = darknet.darknet53(params, stats, x, training=False, fast_stem=True)
+    plain = darknet.darknet53(params, stats, x, training=False, fast_stem=False)
+    for a, b, name in zip(fast[:3], plain[:3], ("out32", "skip16", "skip8")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=name
+        )
+
+
+def test_training_mode_backbone_keeps_plain_stem():
+    """Batch-stat BN (unfrozen backbone training) must bypass the fast stem
+    — the folded path has no per-phase batch-stat reduction.  Moving
+    statistics must advance for conv_00/conv_01 exactly as the plain path
+    computes them."""
+    params, stats = darknet.init_darknet53(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (2, 64, 96, 3)), jnp.float32
+    )
+    _, _, _, ns_fast_flag = darknet.darknet53(
+        params, stats, x, training=True, fast_stem=True
+    )
+    _, _, _, ns_plain = darknet.darknet53(
+        params, stats, x, training=True, fast_stem=False
+    )
+    for i in range(2):
+        n = darknet._conv_name(i)
+        # training=True forces the plain path even with fast_stem=True
+        np.testing.assert_allclose(
+            np.asarray(ns_fast_flag[n]["mean"]), np.asarray(ns_plain[n]["mean"]),
+            rtol=1e-6,
+        )
+        assert not np.allclose(
+            np.asarray(ns_fast_flag[n]["mean"]), np.asarray(stats[n]["mean"])
+        )
