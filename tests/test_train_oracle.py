@@ -93,7 +93,8 @@ def _jax_train(model, params0, stats0, batches, compute_dtype):
         if grads0 is None:
             grads0 = jax.tree.map(np.asarray, grads)
         losses.append(float(total))
-    return losses, grads0
+    final = jax.tree.map(np.asarray, merge_params(trainable, frozen))
+    return losses, grads0, final
 
 
 def _tf_train(tf, model, params0, stats0, batches):
@@ -196,7 +197,11 @@ def _tf_train(tf, model, params0, stats0, batches):
                 grads0.setdefault(name, {})[k] = g.numpy()
         opt.apply_gradients(zip(grads, flat_vars))
         losses.append(float(total))
-    return losses, grads0
+    final = {
+        name: {k: v.numpy() for k, v in block.items()}
+        for name, block in tvars.items()
+    }
+    return losses, grads0, final
 
 
 def test_short_training_matches_tf2_oracle(rng):
@@ -219,8 +224,8 @@ def test_short_training_matches_tf2_oracle(rng):
     params0, stats0 = model.init(jax.random.PRNGKey(0))
     batches = _make_data(rng, model)
 
-    jax_losses, jax_grads = _jax_train(model, params0, stats0, batches, "float32")
-    tf_losses, tf_grads = _tf_train(tf, model, params0, stats0, batches)
+    jax_losses, jax_grads, _ = _jax_train(model, params0, stats0, batches, "float32")
+    tf_losses, tf_grads, _ = _tf_train(tf, model, params0, stats0, batches)
 
     np.testing.assert_allclose(jax_losses[0], tf_losses[0], rtol=1e-5)
     for name, block in tf_grads.items():
@@ -254,8 +259,8 @@ def test_bf16_training_tracks_f32(rng):
     params0, stats0 = model.init(jax.random.PRNGKey(0))
     batches = _make_data(rng, model)
 
-    f32_losses, _ = _jax_train(model, params0, stats0, batches, "float32")
-    bf16_losses, _ = _jax_train(model, params0, stats0, batches, "bfloat16")
+    f32_losses, _, _ = _jax_train(model, params0, stats0, batches, "float32")
+    bf16_losses, _, _ = _jax_train(model, params0, stats0, batches, "bfloat16")
     f32_losses = np.asarray(f32_losses)
     bf16_losses = np.asarray(bf16_losses)
     assert np.all(np.isfinite(bf16_losses))
@@ -264,3 +269,93 @@ def test_bf16_training_tracks_f32(rng):
     # whole trajectory: bounded drift, same descent
     np.testing.assert_allclose(bf16_losses, f32_losses, rtol=1e-1)
     assert bf16_losses[-1] < bf16_losses[0]
+
+
+def test_trained_weights_detection_parity(rng):
+    """The north-star claim at the DETECTION level (BASELINE.json "mAP &
+    variance parity"): overfit the same single batch in both frameworks,
+    then push both trained weight sets through OUR inference path (same
+    decode + NMS + metrics) and compare detections and mAP on the training
+    images.  Isolates accumulated weight divergence — forward parity at
+    shared weights is proven elsewhere (test_full_model_tf_parity,
+    test_tf1_import)."""
+    tf = pytest.importorskip("tensorflow")
+    from bayesian_yolov3_tpu.core.priors import priors_as_array
+    from bayesian_yolov3_tpu.eval.detection_metrics import evaluate_detections
+    from bayesian_yolov3_tpu.ops import nms
+
+    model = YoloV3(spec=VariantSpec(Variant.STANDARD, 2), priors=ECP_9_PRIORS,
+                   img_size=IMG, compute_dtype="float32")
+    params0, stats0 = model.init(jax.random.PRNGKey(0))
+    batch = _make_data(rng, model)[0]
+    batches = [batch] * 30  # overfit so detections are non-trivial
+
+    _, _, p_jax = _jax_train(model, params0, stats0, batches, "float32")
+    _, _, heads_tf = _tf_train(tf, model, params0, stats0, batches)
+    p_tf = dict(p_jax)
+    p_tf.update(heads_tf)  # same frozen backbone, TF-trained heads
+
+    imgs, _ = batch
+    pri = priors_as_array(model.priors)
+
+    def detections(params):
+        # batch-stat BN (training=True, stats updates discarded): the twin
+        # trains head BN on batch statistics and tracks no moving stats, so
+        # this is the regime both weight sets are calibrated for — decoding
+        # under the INIT moving stats instead yields noise for both models.
+        raws, _ = model.forward(
+            jax.tree.map(jnp.asarray, params), stats0, jnp.asarray(imgs),
+            training=True,
+        )
+        preds = {}
+        for b in range(imgs.shape[0]):
+            per_scale = []
+            for i, (raw, stride) in enumerate(zip(raws, (32, 16, 8))):
+                det = decode.split_detection(raw[b], model.spec)
+                per_scale.append(decode.decode_bbox_standard(
+                    det, jnp.asarray(pri[stride]), layer_id=i))
+            flat = decode.concat_all_scales(per_scale)
+            rows, valid, _ = nms.nms_select(flat, obj_idx=4, max_out=64)
+            rows = np.asarray(rows)[np.asarray(valid)]
+            cls_scores = rows[:, 5:7]
+            preds[b] = (rows[:, :4], rows[:, 4] * cls_scores.max(1),
+                        cls_scores.argmax(1))
+        return preds
+
+    det_jax = detections(p_jax)
+    det_tf = detections(p_tf)
+
+    # raw detection agreement: each top-3 box of either model must overlap
+    # a top-10 box of the other (scores are near-tied in the tail, so exact
+    # rank order is not stable between two correct trainers)
+    from bayesian_yolov3_tpu.eval.detection_metrics import _iou_matrix
+
+    for b in det_jax:
+        bj = det_jax[b][0]
+        bt = det_tf[b][0]
+        assert len(bj) >= 3 and len(bt) >= 3
+        ious_a = _iou_matrix(bj[:3], bt[:10])
+        ious_b = _iou_matrix(bt[:3], bj[:10])
+        assert float(ious_a.max(axis=1).min()) > 0.6, ious_a
+        assert float(ious_b.max(axis=1).min()) > 0.6, ious_b
+
+    # mAP-level check: score each model's detections against the OTHER's
+    # top-3 as pseudo-GT — the scenes contain exactly 3 objects, so the
+    # top-3 are the object detections while ranks 4+ are near-tied
+    # background noise (measured: top-5 pseudo-GT caps AP at 0.6 for both
+    # directions symmetrically).  Class-agnostic: class assignment flips on
+    # near-tied softmaxes and is already covered by the loss/grad parity
+    # above.  Symmetric high AP => same detection surface.
+    def agnostic(d, top=None):
+        return {
+            b: (
+                (bx[:top], np.zeros(len(bx[:top]), np.int32))
+                if top
+                else (bx, sc, np.zeros(len(bx), np.int32))
+            )
+            for b, (bx, sc, _) in d.items()
+        }
+
+    m1 = evaluate_detections(agnostic(det_tf), agnostic(det_jax, top=3), [0])["mAP"]
+    m2 = evaluate_detections(agnostic(det_jax), agnostic(det_tf, top=3), [0])["mAP"]
+    assert m1 > 0.8 and m2 > 0.8, (m1, m2)
