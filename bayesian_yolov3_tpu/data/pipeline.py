@@ -67,14 +67,61 @@ def parallel_map(
                 f.cancel()
 
 
+_PNG_NATIVE = None
+
+
+def _png_native():
+    """The libpng decode kernel from native/libbyolo_native.so, or False.
+
+    ctypes releases the GIL during the call, so the cpu_thread_cnt parse
+    pool decodes on real cores in parallel.  A library built without
+    libpng (see native/build.sh) simply lacks the symbols -> PIL fallback.
+    """
+    global _PNG_NATIVE
+    if _PNG_NATIVE is None:
+        import ctypes
+
+        lib = tfrecord._load_native()
+        if lib and hasattr(lib, "byolo_png_decode_rgb"):
+            lib.byolo_png_info.restype = ctypes.c_int
+            lib.byolo_png_info.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.byolo_png_decode_rgb.restype = ctypes.c_int
+            lib.byolo_png_decode_rgb.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t,
+            ]
+            _PNG_NATIVE = lib
+        else:
+            _PNG_NATIVE = False
+    return _PNG_NATIVE
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8 (parity dataset_utils.decode_img :6-11,
-    minus the [0,1) scaling which happens on device)."""
+    minus the [0,1) scaling which happens on device).
+
+    Decodes through the native libpng kernel (native/png_decode.c) when
+    built, PIL otherwise — outputs are identical (tested)."""
+    lib = _png_native()
+    if lib:
+        import ctypes
+
+        h = ctypes.c_int32()
+        w = ctypes.c_int32()
+        if lib.byolo_png_info(data, len(data), ctypes.byref(h), ctypes.byref(w)) == 0:
+            out = np.empty((h.value, w.value, 3), np.uint8)
+            rc = lib.byolo_png_decode_rgb(
+                data, len(data), out.ctypes.data_as(ctypes.c_void_p), out.nbytes
+            )
+            if rc == 0:
+                return out
     from PIL import Image
 
     img = Image.open(io.BytesIO(data))
-    arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
-    return arr
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def parse_example(

@@ -3,5 +3,10 @@
 set -e
 cd "$(dirname "$0")"
 cc="${CC:-gcc}"
-$cc -O3 -fPIC -shared -o libbyolo_native.so crc32c.c
-echo "built $(pwd)/libbyolo_native.so"
+if $cc -O3 -fPIC -shared -o libbyolo_native.so crc32c.c png_decode.c -lpng 2>/dev/null; then
+    echo "built $(pwd)/libbyolo_native.so (crc32c + libpng decode)"
+else
+    # no libpng at build time: PNG decode falls back to PIL in the loader
+    $cc -O3 -fPIC -shared -o libbyolo_native.so crc32c.c
+    echo "built $(pwd)/libbyolo_native.so (crc32c only; no libpng)"
+fi

@@ -131,3 +131,30 @@ def test_cache_skips_decode_after_first_epoch(dataset, monkeypatch):
     sums = sorted(int(b["image"][i].sum()) for b in seen[:3] for i in range(2))
     sums2 = sorted(int(b["image"][i].sum()) for b in seen[3:6] for i in range(2))
     assert sums == sums2
+
+
+def test_native_png_decode_matches_pil(rng):
+    """The libpng kernel (native/png_decode.c) must produce byte-identical
+    RGB output to the PIL fallback, including gray->RGB expansion; skips if
+    the native lib was built without libpng."""
+    import io
+
+    from PIL import Image
+
+    if not pipeline._png_native():
+        pytest.skip("native lib built without libpng")
+
+    def png_bytes(img, mode):
+        b = io.BytesIO()
+        Image.fromarray(img, mode).save(b, "PNG")
+        return b.getvalue()
+
+    for mode, shape in (("RGB", (40, 56, 3)), ("L", (40, 56))):
+        data = png_bytes(rng.integers(0, 255, shape, dtype=np.uint8), mode)
+        got = pipeline.decode_png(data)
+        want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=mode)
+
+    # corrupt input: falls back to PIL, which raises -> decode_png raises
+    with pytest.raises(Exception):
+        pipeline.decode_png(b"not a png")
