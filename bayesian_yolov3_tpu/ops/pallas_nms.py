@@ -2,16 +2,26 @@
 
 The XLA formulation (ops.nms.greedy_nms) runs max_out sequential
 fori_loop iterations, each reading the candidate set from HBM.  Here the
-K = pre-top-k candidates live in VMEM for the entire loop: per iteration
-one masked argmax, one IoU vector, one mask update — no HBM traffic until
-the final index write.  Exact same selection semantics as the XLA/TF
-kernel (suppress IoU > thresh, first-index tie-break).
+candidates live in VMEM for the entire loop, laid out as (K/128, 128)
+planes per coordinate.  Image batches are a grid axis (one grid cell per
+image) — Pallas kernels are not ``vmap``-able over SMEM outputs, so
+batching lives inside the kernel launch (this replaces the reference's
+per-batch-element ``tf.while_loop`` NMS build, inference_aleatoric.py:104-145).
 
-Candidates are laid out as (K/128, 128) planes per coordinate.  Image
-batches are a grid axis (one grid cell per image) — Pallas kernels are not
-``vmap``-able over SMEM outputs, so batching lives inside the kernel launch
-instead (this replaces the reference's per-batch-element ``tf.while_loop``
-NMS build, inference_aleatoric.py:104-145).
+Each greedy iteration makes exactly ONE traversal of the candidate set: a
+chunk loop that (a) suppresses against the PREVIOUS iteration's winner
+(IoU > thresh or the winner itself) and (b) accumulates this iteration's
+lexicographic running winner (score desc, flat index asc, plus the
+winner's four coordinates) in six (SUBLANES, 128) register accumulators,
+finished by tiny reductions on the accumulators.  Deferring suppression
+into the next selection pass halves both the traversal count and the
+serial dependency chain per greedy step.
+
+The first version used separate jnp reductions for the argmax and each
+coordinate extraction (~6 full passes per iteration); at the full ECP
+anchor count (~121k rows of 128 lanes) traversal count dominates.
+Selection semantics match the TF kernel exactly: suppress IoU > thresh,
+ties toward the lower index.
 """
 
 from __future__ import annotations
@@ -24,55 +34,89 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+SUBLANES = 8  # chunk height: one (8, 128) vreg per accumulator
 
 
 def _kernel(y0, x0, y1, x1, sc, out_idx, out_cnt, alive, *, max_out, iou_thresh):
-    # block shapes: (1, rows, LANES) VMEM candidates for this grid cell's
-    # image; (NB, max_out)/(NB, 1) UNBLOCKED SMEM outputs (Mosaic requires
-    # SMEM blocks to equal the array dims — each grid cell writes only its
-    # own row, indexed by program_id); (rows, LANES) VMEM scratch
+    # block shapes: (1, rows, LANES) VMEM candidate planes for this grid
+    # cell's image; (NB, max_out)/(NB, 1) UNBLOCKED SMEM outputs (Mosaic
+    # requires SMEM blocks to equal the array dims — each grid cell writes
+    # only its own row, indexed by program_id); (rows, LANES) VMEM scratch.
     img = pl.program_id(0)
-    y0v, x0v, y1v, x1v, scv = y0[0], x0[0], y1[0], x1[0], sc[0]
-    rows = scv.shape[0]
-    area = jnp.maximum(y1v - y0v, 0.0) * jnp.maximum(x1v - x0v, 0.0)
+    rows = y0.shape[1]
+    n_chunks = rows // SUBLANES
     alive[...] = jnp.ones((rows, LANES), jnp.float32)
     neg_inf = float("-inf")  # python scalar: traced constants can't be captured
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-    flat_ids = row_ids * LANES + col_ids
+    chunk_rows = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+    chunk_cols = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    chunk_ids0 = chunk_rows * LANES + chunk_cols  # ids within chunk 0
+    big = jnp.int32(2**30)
 
-    def body(t, cnt):
-        masked = jnp.where(alive[...] > 0.0, scv, neg_inf)
-        m = jnp.max(masked)
+    def body(t, carry):
+        # previous winner (suppression is deferred into this selection pass)
+        cnt, p_ok, p_idx, py0, px0, py1, px1, p_area = carry
+
+        def chunk(c, acc):
+            a_s, a_i, a_y0, a_x0, a_y1, a_x1 = acc
+            r = c * SUBLANES
+            cy0 = y0[0, pl.ds(r, SUBLANES), :]
+            cx0 = x0[0, pl.ds(r, SUBLANES), :]
+            cy1 = y1[0, pl.ds(r, SUBLANES), :]
+            cx1 = x1[0, pl.ds(r, SUBLANES), :]
+            id_c = chunk_ids0 + r * LANES
+            # suppress against the previous winner.  NaN IoU (degenerate
+            # zero-area boxes) compares False -> kept alive, matching TF.
+            area = jnp.maximum(cy1 - cy0, 0.0) * jnp.maximum(cx1 - cx0, 0.0)
+            iy0 = jnp.maximum(cy0, py0)
+            ix0 = jnp.maximum(cx0, px0)
+            iy1 = jnp.minimum(cy1, py1)
+            ix1 = jnp.minimum(cx1, px1)
+            inter = jnp.maximum(iy1 - iy0, 0.0) * jnp.maximum(ix1 - ix0, 0.0)
+            iou = inter / (area + p_area - inter)
+            sup = ((iou > iou_thresh) | (id_c == p_idx)) & p_ok
+            al = jnp.where(sup, 0.0, alive[pl.ds(r, SUBLANES), :])
+            alive[pl.ds(r, SUBLANES), :] = al
+            # lexicographic running winner among the surviving candidates
+            s_c = jnp.where(al > 0.0, sc[0, pl.ds(r, SUBLANES), :], neg_inf)
+            better = (s_c > a_s) | ((s_c == a_s) & (id_c < a_i))
+            return (
+                jnp.where(better, s_c, a_s),
+                jnp.where(better, id_c, a_i),
+                jnp.where(better, cy0, a_y0),
+                jnp.where(better, cx0, a_x0),
+                jnp.where(better, cy1, a_y1),
+                jnp.where(better, cx1, a_x1),
+            )
+
+        zeros = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        acc = (
+            jnp.full((SUBLANES, LANES), neg_inf, jnp.float32),
+            jnp.full((SUBLANES, LANES), 2**30, jnp.int32),
+            zeros, zeros, zeros, zeros,
+        )
+        a_s, a_i, a_y0, a_x0, a_y1, a_x1 = jax.lax.fori_loop(
+            0, n_chunks, chunk, acc
+        )
+        # finish on the (SUBLANES, 128) accumulators (cheap)
+        m = jnp.max(a_s)
         ok = m > neg_inf
-        # first-flat-index argmax (ties toward the lower index, TF parity)
-        is_max = masked >= m
-        idx = jnp.min(jnp.where(is_max, flat_ids, jnp.int32(2**30)))
-        # chosen-box coordinates via masked reductions (dynamic lane-indexed
-        # scalar loads don't lower on Mosaic)
-        sel = flat_ids == idx
-        by0 = jnp.max(jnp.where(sel, y0v, neg_inf))
-        bx0 = jnp.max(jnp.where(sel, x0v, neg_inf))
-        by1 = jnp.max(jnp.where(sel, y1v, neg_inf))
-        bx1 = jnp.max(jnp.where(sel, x1v, neg_inf))
+        is_max = a_s >= m
+        idx = jnp.min(jnp.where(is_max, a_i, big))
+        sel = is_max & (a_i == idx)
+        by0 = jnp.max(jnp.where(sel, a_y0, neg_inf))
+        bx0 = jnp.max(jnp.where(sel, a_x0, neg_inf))
+        by1 = jnp.max(jnp.where(sel, a_y1, neg_inf))
+        bx1 = jnp.max(jnp.where(sel, a_x1, neg_inf))
         barea = jnp.maximum(by1 - by0, 0.0) * jnp.maximum(bx1 - bx0, 0.0)
-        iy0 = jnp.maximum(y0v, by0)
-        ix0 = jnp.maximum(x0v, bx0)
-        iy1 = jnp.minimum(y1v, by1)
-        ix1 = jnp.minimum(x1v, bx1)
-        inter = jnp.maximum(iy1 - iy0, 0.0) * jnp.maximum(ix1 - ix0, 0.0)
-        iou = inter / (area + barea - inter)
-        sup = (iou > iou_thresh) | sel
-
-        @pl.when(ok)
-        def _():
-            alive[...] = jnp.where(sup, 0.0, alive[...])
 
         out_idx[img, t] = jnp.where(ok, idx, -1)
-        return cnt + ok.astype(jnp.int32)
+        return (cnt + ok.astype(jnp.int32), ok, idx, by0, bx0, by1, bx1, barea)
 
-    cnt = jax.lax.fori_loop(0, max_out, body, jnp.int32(0))
+    init = (jnp.int32(0), jnp.bool_(False), jnp.int32(-1),
+            jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+            jnp.float32(0))
+    cnt = jax.lax.fori_loop(0, max_out, body, init)[0]
     out_cnt[img, 0] = cnt
 
 
@@ -87,11 +131,19 @@ def greedy_nms_pallas_batched(
 
     One grid cell per image; each runs the full greedy loop over its own
     candidate planes in VMEM.  K must be a multiple of 128 (pad with -inf
-    scores).  Per-image semantics match ops.nms.greedy_nms exactly.
+    scores); rows are padded to the 8-sublane chunk height internally.
+    Per-image semantics match ops.nms.greedy_nms exactly.
     """
     nb, k = scores.shape
     assert k % LANES == 0, f"K={k} must be a multiple of {LANES}"
     rows = k // LANES
+    pad_rows = (-rows) % SUBLANES
+    if pad_rows:
+        boxes = jnp.pad(boxes, ((0, 0), (0, pad_rows * LANES), (0, 0)))
+        scores = jnp.pad(
+            scores, ((0, 0), (0, pad_rows * LANES)), constant_values=-jnp.inf
+        )
+        rows += pad_rows
     planes = [
         boxes[..., i].astype(jnp.float32).reshape(nb, rows, LANES)
         for i in range(4)
