@@ -72,13 +72,15 @@ class Config:
     batch_size_inference: int = 1
     nms_max_boxes: int = 1000  # reference: tf.image.non_max_suppression(..., 1000)
     nms_iou_thresh: float = 0.5  # TF default iou_threshold
-    # Pre-NMS candidate cap (0 = exact full-anchor NMS, the reference's
-    # contract — the fused Pallas kernel makes it ~2.5 ms/img dearer than
-    # k=8192 at ECP resolution; measured: k=8192 drops tail selections on
-    # DIFFUSE score surfaces (984/1000 at random weights) while being exact
-    # on trained models (tests/test_nms.py).  Set e.g. 8192 to trade the
-    # tail for speed.)
-    nms_pre_top_k: int = 0
+    # Pre-NMS candidate cap.  The restriction is OPTIMISTIC, not lossy:
+    # every NMS call emits a per-image exactness certificate (ops/nms.py —
+    # selection filled AND min selected score >= max excluded score, sound
+    # incl. ties) and the inference runner re-runs uncertified batches
+    # through an exact pre_top_k=0 program (lazily compiled).  Trained
+    # models certify essentially always; diffuse surfaces (random weights)
+    # measurably don't (984/1000 selections) and get the exact re-run.
+    # 0 = always-exact full-anchor NMS (~2.5 ms/img dearer at ECP res).
+    nms_pre_top_k: int = 8192
 
     # --- TPU-native knobs (no reference counterpart) ----------------------
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype on TPU

@@ -109,9 +109,14 @@ class Detector:
             img = center_crop(img, cfg.crop_img_size)
         images = (img[None] * 255).astype(np.uint8)
         key = jax.random.fold_in(jax.random.PRNGKey(1), hash(path) % (2**31))
-        rows, valid = self.runner._jit(
-            self.params, self.stats, jnp.asarray(images), key
+        images_d = jnp.asarray(images)
+        rows, valid, cert = self.runner._jit(
+            self.params, self.stats, images_d, key
         )
+        if not np.asarray(cert).all():  # exact-NMS retry (see runner)
+            rows, valid, _ = self.runner.exact_pipeline(
+                self.params, self.stats, images_d, key
+            )
         boxes = filter_and_score(
             np.asarray(rows)[0], np.asarray(valid)[0], self.runner.spec,
             self.runner.epistemic, cfg.thresh, img.shape[:2],

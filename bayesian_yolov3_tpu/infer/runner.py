@@ -80,7 +80,7 @@ class InferenceRunner:
                     obj_idx=self.spec.obj_idx(epistemic=True),
                     nms_max_boxes=config.nms_max_boxes,
                     nms_iou_thresh=config.nms_iou_thresh,
-                    nms_pre_top_k=config.nms_pre_top_k,
+                    nms_pre_top_k=0,  # multi-chip: exact NMS outright
                     use_pallas_nms=True,
                     interpret=interpret,
                 )
@@ -89,11 +89,20 @@ class InferenceRunner:
 
             def run_fused(params, stats, images, rng):
                 imgs = jnp.asarray(images).astype(jnp.float32) / 255.0
-                return fused(params, stats, imgs, rng)
+                rows, valid = fused(params, stats, imgs, rng)
+                # the sharded pipeline runs exact NMS (pre_top_k=0 below)
+                return rows, valid, jnp.ones((rows.shape[0],), jnp.bool_)
 
             self._jit = run_fused  # jitted inside the shard_map wrapper
         else:
-            self._jit = jax.jit(self._device_pipeline)
+            import functools
+
+            self._jit = jax.jit(functools.partial(
+                self._device_pipeline, pre_top_k=self.config.nms_pre_top_k
+            ))
+            # exact-NMS retry program for uncertified batches; compiled
+            # lazily on the first certificate failure
+            self._jit_exact_fn = None
 
     # -- checkpoint handling -------------------------------------------
 
@@ -136,8 +145,31 @@ class InferenceRunner:
     def _use_fused_kernels(self) -> bool:
         return self.config.use_pallas and jax.devices()[0].platform == "tpu"
 
-    def _device_pipeline(self, params, stats, images, rng):
-        """uint8 batch -> (rows, valid) padded NMS selections."""
+    def exact_pipeline(self, params, stats, images, rng):
+        """Exact-NMS (pre_top_k=0) instance of the device program.
+
+        Compiled lazily on the first NMS-certificate failure: trained-model
+        score surfaces certify essentially always (tests/test_nms.py), so
+        this usually never compiles; diffuse surfaces (early training,
+        random weights) trigger it and get exact results at full cost.
+        """
+        import functools
+
+        if getattr(self, "_jit_exact_fn", None) is None:
+            log.info("NMS certificate failed — compiling exact-NMS retry "
+                     "program (one-time)")
+            self._jit_exact_fn = jax.jit(functools.partial(
+                self._device_pipeline, pre_top_k=0
+            ))
+        return self._jit_exact_fn(params, stats, images, rng)
+
+    def _device_pipeline(self, params, stats, images, rng, *, pre_top_k):
+        """uint8 batch -> (rows, valid, cert) padded NMS selections.
+
+        ``cert`` is the per-image exactness certificate of the pre-top-k
+        NMS restriction (ops.nms); the host loop retries uncertified
+        batches through an exact (pre_top_k=0) instance of this program.
+        """
         imgs = images.astype(jnp.float32) / 255.0
         cfg = self.config
         obj_idx = self.spec.obj_idx(self.epistemic)
@@ -155,12 +187,13 @@ class InferenceRunner:
                 raws = self._mc_sharded(params, stats, imgs, rng)
                 decoded = self._decode_scales(raws, epistemic=True)
                 flat = decode.concat_all_scales(decoded)
-                rows, valid, _ = nms.nms_select(
+                rows, valid, _, cert = nms.nms_select(
                     flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
-                    pre_top_k=cfg.nms_pre_top_k,
+                    pre_top_k=pre_top_k,
                     use_pallas=self._use_fused_kernels(),
+                    with_certificate=True,
                 )
-                return rows[None], valid[None]
+                return rows[None], valid[None], cert[None]
             if self._use_fused_kernels():
                 # channels-first heads + fused Pallas epistemic decode;
                 # image batches > 1 supported (anchor-axis folding) — a
@@ -189,21 +222,23 @@ class InferenceRunner:
 
                 # batched Pallas NMS: images are a kernel grid axis (the
                 # kernel is not vmappable — SMEM outputs)
-                rows, valid, _ = nms.nms_select_batch(
+                rows, valid, _, cert = nms.nms_select_batch(
                     flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
-                    pre_top_k=cfg.nms_pre_top_k,
+                    pre_top_k=pre_top_k,
                     use_pallas=self._use_fused_kernels(),
+                    with_certificate=True,
                 )
-                return rows, valid
+                return rows, valid, cert
             raws = self.model.mc_forward(params, stats, imgs, T=cfg.T, rng=rng)
             decoded = self._decode_scales(raws, epistemic=True)
             flat = decode.concat_all_scales(decoded)
-            rows, valid, _ = nms.nms_select(
+            rows, valid, _, cert = nms.nms_select(
                 flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
-                pre_top_k=cfg.nms_pre_top_k,
+                pre_top_k=pre_top_k,
                 use_pallas=self._use_fused_kernels(),
+                with_certificate=True,
             )
-            return rows[None], valid[None]
+            return rows[None], valid[None], cert[None]
         if self._use_fused_kernels():
             from ..models.yolov3 import forward_cf
             from ..ops.pallas_decode import fused_box_decode_cf
@@ -225,22 +260,24 @@ class InferenceRunner:
                 axis=1,
             )  # (batch, N_total, width), reference concat order
 
-            rows, valid, _ = nms.nms_select_batch(
+            rows, valid, _, cert = nms.nms_select_batch(
                 flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
-                pre_top_k=cfg.nms_pre_top_k,
+                pre_top_k=pre_top_k,
                 use_pallas=self._use_fused_kernels(),
+                with_certificate=True,
             )
-            return rows, valid
+            return rows, valid, cert
 
         raws, _ = self.model.forward(params, stats, imgs, training=False, rng=rng)
         decoded = self._decode_scales(raws, epistemic=False)
         flat = decode.concat_all_scales_batched(decoded)
-        rows, valid, _ = nms.nms_select_batch(
+        rows, valid, _, cert = nms.nms_select_batch(
             flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
-            pre_top_k=cfg.nms_pre_top_k,
+            pre_top_k=pre_top_k,
             use_pallas=self._use_fused_kernels(),
+            with_certificate=True,
         )
-        return rows, valid
+        return rows, valid, cert
 
     # -- host loop -------------------------------------------------------
 
@@ -260,12 +297,21 @@ class InferenceRunner:
         loader = pipeline.TestLoader(cfg, batch_size=batch_size)
         worker: Optional[threading.Thread] = None
         n = 0
+        retried = 0
         start = time.time()
-        inflight = None  # (device rows, device valid, bsz, names)
+        inflight = None  # (device rows/valid/cert, images, key, bsz, names)
+
+        def exact_rerun(images, key):
+            nonlocal retried
+            retried += 1
+            return self.exact_pipeline(params, stats, images, key)
 
         def drain(entry):
             nonlocal worker
-            rows_d, valid_d, bsz, names = entry
+            rows_d, valid_d, cert_d, images_d, key, bsz, names = entry
+            cert = np.asarray(cert_d)
+            if not cert.all():
+                rows_d, valid_d, _ = exact_rerun(images_d, key)
             rows = np.asarray(rows_d)[:bsz]
             valid = np.asarray(valid_d)[:bsz]
             if worker:
@@ -284,16 +330,19 @@ class InferenceRunner:
             key = jax.random.fold_in(self.rng, n)
             # double-buffer: dispatch this batch BEFORE fetching the
             # previous one, hiding the device->host round-trip latency
-            rows_d, valid_d = self._jit(params, stats, jnp.asarray(images), key)
+            images_d = jnp.asarray(images)
+            rows_d, valid_d, cert_d = self._jit(params, stats, images_d, key)
             names = [f.decode() if isinstance(f, bytes) else f for f in batch["filename"]]
             if inflight is not None:
                 drain(inflight)
-            inflight = (rows_d, valid_d, bsz, names)
+            inflight = (rows_d, valid_d, cert_d, images_d, key, bsz, names)
             n += bsz
             if n % 15 == 0:
                 log.info("Processed %d images.", n)
         if inflight is not None:
             drain(inflight)
+        if retried:
+            log.info("%d batches re-run with exact NMS (certificate).", retried)
         if worker:
             worker.join()
         elapsed = time.time() - start

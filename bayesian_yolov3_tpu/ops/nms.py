@@ -83,7 +83,8 @@ def greedy_nms(
 @partial(
     jax.jit,
     static_argnames=(
-        "max_out", "obj_idx", "iou_thresh", "pre_top_k", "use_pallas", "interpret"
+        "max_out", "obj_idx", "iou_thresh", "pre_top_k", "use_pallas",
+        "interpret", "with_certificate",
     ),
 )
 def nms_select(
@@ -94,25 +95,39 @@ def nms_select(
     pre_top_k: int = 0,
     use_pallas: bool = False,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_certificate: bool = False,
+):
     """NMS over a flattened decoded tensor, scored by its objectness column.
 
     Mirrors the reference's ``nms`` helper (inference_epistemic.py:99-128):
     boxes are columns [0:4], score is ``decoded[:, obj_idx]``.
 
     ``pre_top_k > 0`` restricts the greedy loop to the top-k anchors by
-    score — each of the max_out sequential steps then scans k lanes instead
-    of the full anchor set.  Exactness caveat: a selection differing from
-    full greedy NMS requires > (pre_top_k - max_out) higher-scored anchors
-    to be suppressed first, which cannot happen for realistic detections
-    with pre_top_k >= 8 * max_out.
+    score.  ``with_certificate=True`` additionally returns a per-call
+    boolean PROOF that the restricted selection equals exact full-anchor
+    NMS:
 
-    Returns (selected (max_out, width) with zero padding, valid (max_out,)
-    bool, count).
+        cert = (count == max_out) and (min selected score >= max excluded
+               score)
+
+    Soundness: by induction, at every greedy step the full-set argmax over
+    alive candidates coincides with the restricted-set argmax — any
+    excluded candidate scores <= the max excluded score <= every selected
+    score, so it can only become the argmax after max_out selections have
+    already been emitted.  Ties are safe because ``jax.lax.top_k`` keeps
+    the LOWEST indices among equal scores, and greedy argmax breaks ties
+    toward the lower index — a tied excluded candidate always has a higher
+    index than its tied included peers.  (The production runner retries
+    uncertified batches through an exact pre_top_k=0 program.)
+
+    Returns (selected (max_out, width) zero-padded, valid (max_out,) bool,
+    count[, cert]).
     """
+    excluded_max = None
     if pre_top_k and pre_top_k < decoded.shape[0]:
-        _, top_idx = jax.lax.top_k(decoded[:, obj_idx], pre_top_k)
-        decoded = decoded[top_idx]
+        top_scores, top_idx = jax.lax.top_k(decoded[:, obj_idx], pre_top_k + 1)
+        excluded_max = top_scores[pre_top_k]
+        decoded = decoded[top_idx[:pre_top_k]]
     if use_pallas:
         # whole greedy loop in VMEM (ops.pallas_nms); -inf-score padding to
         # a lane multiple never gets selected
@@ -133,13 +148,21 @@ def nms_select(
     valid = indices >= 0
     rows = decoded[jnp.maximum(indices, 0)]
     rows = jnp.where(valid[:, None], rows, jnp.zeros_like(rows))
-    return rows, valid, count
+    if not with_certificate:
+        return rows, valid, count
+    if excluded_max is None:
+        cert = jnp.bool_(True)  # no pre-filter: exact by construction
+    else:
+        min_sel = jnp.min(jnp.where(valid, rows[:, obj_idx], jnp.inf))
+        cert = (count == max_out) & (min_sel >= excluded_max)
+    return rows, valid, count, cert
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "max_out", "obj_idx", "iou_thresh", "pre_top_k", "use_pallas", "interpret"
+        "max_out", "obj_idx", "iou_thresh", "pre_top_k", "use_pallas",
+        "interpret", "with_certificate",
     ),
 )
 def nms_select_batch(
@@ -150,7 +173,8 @@ def nms_select_batch(
     pre_top_k: int = 0,
     use_pallas: bool = False,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_certificate: bool = False,
+):
     """Image-batched ``nms_select``: (NB, N, width) -> per-image selections.
 
     The Pallas greedy kernel is not ``vmap``-able (SMEM outputs), so image
@@ -158,11 +182,19 @@ def nms_select_batch(
     instead of a vmap — this is the production path for the reference's
     batched standard/aleatoric inference (inference_aleatoric.py:104-145).
 
-    Returns (rows (NB, max_out, width), valid (NB, max_out), count (NB,)).
+    ``with_certificate=True``: also return a per-image exactness proof for
+    the pre-top-k restriction (see nms_select).
+
+    Returns (rows (NB, max_out, width), valid (NB, max_out), count (NB,)
+    [, cert (NB,) bool]).
     """
+    excluded_max = None
     if pre_top_k and pre_top_k < decoded.shape[1]:
-        _, top_idx = jax.lax.top_k(decoded[:, :, obj_idx], pre_top_k)
-        decoded = jnp.take_along_axis(decoded, top_idx[:, :, None], axis=1)
+        top_scores, top_idx = jax.lax.top_k(decoded[:, :, obj_idx], pre_top_k + 1)
+        excluded_max = top_scores[:, pre_top_k]
+        decoded = jnp.take_along_axis(
+            decoded, top_idx[:, :pre_top_k, None], axis=1
+        )
     if use_pallas:
         from .pallas_nms import LANES, greedy_nms_pallas_batched
 
@@ -183,7 +215,16 @@ def nms_select_batch(
     valid = indices >= 0
     rows = jnp.take_along_axis(decoded, jnp.maximum(indices, 0)[:, :, None], axis=1)
     rows = jnp.where(valid[:, :, None], rows, jnp.zeros_like(rows))
-    return rows, valid, count
+    if not with_certificate:
+        return rows, valid, count
+    if excluded_max is None:
+        cert = jnp.ones((decoded.shape[0],), jnp.bool_)
+    else:
+        min_sel = jnp.min(
+            jnp.where(valid, rows[:, :, obj_idx], jnp.inf), axis=1
+        )
+        cert = (count == max_out) & (min_sel >= excluded_max)
+    return rows, valid, count, cert
 
 
 def per_class_nms(

@@ -68,8 +68,11 @@ def build_pipeline(backend=None, compute_dtype="bfloat16", use_pallas=True):
                                                  layer_id=i)
                 )
         flat = decode.concat_all_scales(decoded)
-        # exact full-anchor NMS (the production default, config.py)
+        # production default: optimistic top-k with exactness certificate
+        # (trained models certify ~always; the runner retries failures
+        # with exact NMS — config.py nms_pre_top_k)
         return nms.nms_select(flat, obj_idx=obj_idx, max_out=1000,
+                              pre_top_k=8192 if use_pallas else 0,
                               use_pallas=use_pallas)
 
     device = jax.devices(backend)[0] if backend else jax.devices()[0]

@@ -56,7 +56,7 @@ def bench_epistemic():
             for i, ((r, hw), st) in enumerate(zip(outs, (32, 16, 8)))
         ]
         flat = decode.concat_all_scales(decoded)
-        return nms.nms_select(flat, 14, 1000, 0.5, use_pallas=True)[2]  # exact (default)
+        return nms.nms_select(flat, 14, 1000, 0.5, pre_top_k=8192, use_pallas=True)[2]
 
     j = jax.jit(fn)
     key = jax.random.key(1, impl="rbg")
@@ -94,7 +94,7 @@ def bench_batched(model, nb):
         )
         # production path: batched Pallas NMS (images on the kernel grid)
         return jnp.sum(nms.nms_select_batch(
-            flat, obj_idx, 1000, 0.5, use_pallas=True)[2])  # exact (default)
+            flat, obj_idx, 1000, 0.5, pre_top_k=8192, use_pallas=True)[2])
 
     j = jax.jit(fn)
     int(j(params, stats, img))

@@ -212,3 +212,86 @@ def test_pre_top_k_exactness_at_ecp_anchor_count(rng):
     fast = nms.nms_select(jnp.asarray(decoded), obj_idx=4, max_out=1000, pre_top_k=8192)
     assert int(full[2]) == int(fast[2])
     np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(fast[0]))
+
+
+def test_exactness_certificate_soundness(rng):
+    """cert=True must IMPLY selections identical to exact full NMS; both
+    certificate outcomes must actually occur over random score surfaces."""
+    seen = {True: 0, False: 0}
+    for trial in range(12):
+        r = np.random.default_rng(trial)
+        if trial % 2:
+            # clustered boxes: every pick suppresses many top-k peers, so
+            # the restricted set exhausts before max_out -> cert fails
+            centers = r.uniform(0.1, 0.8, (6, 2))
+            yx = centers[r.integers(0, 6, 600)] + r.normal(0, 0.01, (600, 2))
+            hw = r.uniform(0.1, 0.15, (600, 2))
+            boxes = np.concatenate([yx, yx + hw], axis=1).astype(np.float32)
+            scores = r.uniform(0, 1, 600).astype(np.float32)
+        else:
+            boxes, scores = _random_boxes(r, 600)
+        decoded = np.zeros((600, 6), np.float32)
+        decoded[:, :4] = boxes
+        decoded[:, 4] = scores
+        k = 64
+        rows, valid, count, cert = nms.nms_select(
+            jnp.asarray(decoded), obj_idx=4, max_out=32, pre_top_k=k,
+            with_certificate=True,
+        )
+        exact = nms.nms_select(jnp.asarray(decoded), obj_idx=4, max_out=32)
+        seen[bool(cert)] += 1
+        if bool(cert):
+            assert int(count) == int(exact[2])
+            np.testing.assert_array_equal(np.asarray(rows), np.asarray(exact[0]))
+    assert seen[True] > 0 and seen[False] > 0, seen
+
+
+def test_certificate_batched_matches_single(rng):
+    nb, n = 3, 400
+    decoded = np.zeros((nb, n, 6), np.float32)
+    for b in range(nb):
+        boxes, scores = _random_boxes(rng, n)
+        decoded[b, :, :4] = boxes
+        decoded[b, :, 4] = scores
+    rows, valid, count, cert = nms.nms_select_batch(
+        jnp.asarray(decoded), obj_idx=4, max_out=32, pre_top_k=64,
+        with_certificate=True,
+    )
+    for b in range(nb):
+        r1, v1, c1, s1 = nms.nms_select(
+            jnp.asarray(decoded[b]), obj_idx=4, max_out=32, pre_top_k=64,
+            with_certificate=True,
+        )
+        assert bool(cert[b]) == bool(s1)
+        np.testing.assert_array_equal(np.asarray(rows[b]), np.asarray(r1))
+
+
+def test_runner_exact_retry_on_certificate_failure(tmp_path, rng):
+    """With a deliberately tiny pre-top-k, the runner's certificate must
+    fail and the exact re-run must make the output IDENTICAL to an
+    always-exact (pre_top_k=0) run."""
+    import glob
+    import json
+
+    from test_infer import _trained_checkpoint
+    from bayesian_yolov3_tpu.infer.runner import InferenceRunner
+
+    cfg, _ = _trained_checkpoint(tmp_path, rng, "standard")
+    cfg.batch_size = 2
+    cfg.nms_max_boxes = 40
+
+    cfg.nms_pre_top_k = 8  # far below max_out: certificate must fail
+    cfg.out_path = str(tmp_path / "fast")
+    runner = InferenceRunner(cfg)
+    out_fast = runner.run()
+    assert runner._jit_exact_fn is not None  # the retry actually fired
+
+    cfg.nms_pre_top_k = 0
+    cfg.out_path = str(tmp_path / "exact")
+    out_exact = InferenceRunner(cfg).run()
+
+    fast = sorted(glob.glob(out_fast + "/*.json"))
+    exact = sorted(glob.glob(out_exact + "/*.json"))
+    assert len(fast) == len(exact) == 4
+    for f, e in zip(fast, exact):
+        assert json.load(open(f)) == json.load(open(e))
