@@ -160,3 +160,44 @@ def load_tf1_checkpoint(ckpt_path: str, params: Dict, stats: Dict):
         raise KeyError(f"checkpoint is missing {len(missing)} model variables, "
                        f"e.g. {missing[:3]}")
     return params, stats
+
+
+def save_tf1_checkpoint(ckpt_prefix: str, params: Dict, stats: Dict,
+                        global_step: int = 0) -> str:
+    """Export our pytrees as a reference-compatible TF1 checkpoint.
+
+    The inverse migration: models trained here load back into the
+    reference's own graphs via ``tf.train.Saver().restore`` (validated
+    against the actual reference code in tests/test_tf1_import.py).
+    Written with the eager ``tf.raw_ops.SaveV2`` — no graph or session —
+    under the exact variable names the reference's builders create, plus
+    the ``checkpoint`` state file that ``tf.train.latest_checkpoint`` and
+    the reference's step-suffix convention expect
+    (lib_yolo/train.py:97-102).
+
+    Scope: model variables only (the reference's inference and
+    warm-start paths); resuming the reference's Adam mid-run would
+    additionally need optimizer slots, which have no counterpart here
+    (optax state is structured, not name-addressed).
+    """
+    import os
+
+    import tensorflow as tf  # lazy: checkpoint file format only
+
+    mapping = tf1_variable_map()
+    trees = {"params": params, "stats": stats}
+    names, tensors = [], []
+    for tf_name in sorted(mapping):
+        tree, flat, leaf = mapping[tf_name]
+        arr = np.asarray(_resolve(trees[tree], flat)[leaf], np.float32)
+        names.append(tf_name)
+        tensors.append(tf.constant(arr))
+    prefix = f"{ckpt_prefix}-{global_step}"
+    os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+    tf.raw_ops.SaveV2(prefix=prefix, tensor_names=names,
+                      shape_and_slices=[""] * len(names), tensors=tensors)
+    base = os.path.basename(prefix)
+    with open(os.path.join(os.path.dirname(prefix), "checkpoint"), "w") as f:
+        f.write(f'model_checkpoint_path: "{base}"\n'
+                f'all_model_checkpoint_paths: "{base}"\n')
+    return prefix

@@ -120,3 +120,51 @@ def test_import_rejects_wrong_shapes(tmp_path):
     with mock.patch.object(tf.train, "load_checkpoint", return_value=FakeReader()):
         with pytest.raises(ValueError, match="checkpoint shape"):
             tf1_import.load_tf1_checkpoint("unused", params, stats)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference absent")
+def test_export_restores_into_real_reference_graph(tmp_path, rng):
+    """Inverse migration: weights trained HERE, exported with
+    save_tf1_checkpoint, must restore into the reference's own graph via
+    its own mechanism (tf.train.Saver) and reproduce OUR forward outputs
+    — closing the round trip (reference -> us is the test above)."""
+    pytest.importorskip("tensorflow")
+    h, w = 64, 96
+    spec = VariantSpec(Variant.ALEATORIC, 2)
+    params, stats = Y.init_yolov3(jax.random.PRNGKey(5), spec)
+    # perturb BN stats so the export carries non-identity statistics
+    def jitter(tree, scale):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+        return jax.tree_util.tree_unflatten(treedef, [
+            l + scale * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)
+        ])
+    stats = jax.tree.map(jnp.abs, jitter(stats, 0.1))
+
+    ckpt = tf1_import.save_tf1_checkpoint(
+        str(tmp_path / "export" / "model.ckpt"), params, stats, global_step=42
+    )
+    assert ckpt.endswith("-42")
+    assert os.path.exists(os.path.join(os.path.dirname(ckpt), "checkpoint"))
+
+    out = str(tmp_path / "ref_fwd")
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX_")}
+    subprocess.run(
+        [sys.executable, os.path.join(HERE, "tf1_ref_harness.py"),
+         "restore", "aleatoric", ckpt, out, str(h), str(w)],
+        check=True, timeout=900, env=env,
+    )
+    golden = np.load(os.path.join(out, "golden.npz"))
+    got, _ = Y.forward(
+        params, stats, jnp.asarray(golden["img"]), spec=spec, training=False,
+        compute_dtype=jnp.float32,
+    )
+    for i, g in enumerate(got, start=1):
+        want = golden[f"raw{i}"]
+        g = np.asarray(g)
+        assert g.shape == want.shape
+        diff = np.abs(g - want) / np.maximum(np.abs(want), 1.0)
+        assert np.median(diff) < 1e-4, float(np.median(diff))
+        n_out = int((diff > 5e-3).sum())
+        assert n_out <= max(2, int(1e-3 * diff.size)), (n_out, diff.size)
+        assert np.max(diff) < 5e-2, float(np.max(diff))

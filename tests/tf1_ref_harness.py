@@ -102,9 +102,7 @@ def make_tf1_shim():
     return shim, v1
 
 
-def main(variant: str, out_dir: str, h: int, w: int) -> None:
-    shim, v1 = make_tf1_shim()
-    sys.modules["tensorflow"] = shim
+def _build_reference(v1, variant: str, h: int, w: int):
     sys.path.insert(0, REFERENCE)
     from lib_yolo import yolov3 as ref_yolo
 
@@ -121,7 +119,32 @@ def main(variant: str, out_dir: str, h: int, w: int) -> None:
     factory = cls(config)
     inputs = v1.placeholder(v1.float32, [1, h, w, 3])
     factory.init_model(inputs, training=False)
-    model = factory.get_model()
+    return factory.get_model(), inputs
+
+
+def restore_and_forward(variant: str, ckpt: str, out_dir: str, h: int,
+                        w: int) -> None:
+    """Restore an EXPORTED checkpoint into the reference graph via the
+    reference's own mechanism (tf.train.Saver, lib_yolo/train.py:93) and
+    snapshot the forward outputs."""
+    shim, v1 = make_tf1_shim()
+    sys.modules["tensorflow"] = shim
+    model, inputs = _build_reference(v1, variant, h, w)
+    rng = np.random.default_rng(20260817)
+    img = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+    os.makedirs(out_dir, exist_ok=True)
+    with v1.Session() as sess:
+        v1.train.Saver().restore(sess, ckpt)
+        raws = sess.run([dl.raw_output for dl in model.det_layers],
+                        {inputs: img})
+    np.savez(os.path.join(out_dir, "golden.npz"), img=img,
+             raw1=raws[0], raw2=raws[1], raw3=raws[2])
+
+
+def main(variant: str, out_dir: str, h: int, w: int) -> None:
+    shim, v1 = make_tf1_shim()
+    sys.modules["tensorflow"] = shim
+    model, inputs = _build_reference(v1, variant, h, w)
 
     rng = np.random.default_rng(20260816)
     os.makedirs(out_dir, exist_ok=True)
@@ -155,4 +178,8 @@ def main(variant: str, out_dir: str, h: int, w: int) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    if sys.argv[1] == "restore":
+        restore_and_forward(sys.argv[2], sys.argv[3], sys.argv[4],
+                            int(sys.argv[5]), int(sys.argv[6]))
+    else:
+        main(sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
