@@ -55,12 +55,31 @@ class InferenceRunner:
         # rbg: cheap on-TPU random bits for the MC-dropout masks
         self.rng = jax.random.key(seed, impl="rbg")
         self._priors = priors_as_array(self.model.priors)
-        # multi-chip MC-sample parallelism: config.mesh_shape={'mc': N}
-        # shards the T dropout samples over N devices (SURVEY §2.9's
-        # north-star axis); single-device otherwise
+        # multi-chip parallelism from config.mesh_shape:
+        # * {'sp': N}: image-H (spatial) sharding — activations / device
+        #   divide by N, the reference's resolution/OOM axis
+        #   (inference_epistemic.py:221, SURVEY §5.7); any variant;
+        # * {'mc': N}: the T MC-dropout samples shard over N devices
+        #   (SURVEY §2.9's north-star axis); epistemic only;
+        # * {'sp': a, 'mc': b}: both composed (epistemic).
+        # Single-device otherwise.
         self.mesh = None
+        self.sp_mesh = None
+        self._sp_mc_axis = None
         self._mc_fused = None
-        if self.epistemic and config.mesh_shape.get("mc", 0) > 1:
+        if config.mesh_shape.get("sp", 0) > 1:
+            from ..parallel import mesh as mesh_lib
+
+            shape = {"sp": config.mesh_shape["sp"]}
+            if config.mesh_shape.get("mc", 0) > 1:
+                assert self.epistemic, "mc axis requires the epistemic runner"
+                assert config.T % config.mesh_shape["mc"] == 0, (
+                    "T must divide evenly over the mc axis"
+                )
+                shape["mc"] = config.mesh_shape["mc"]
+                self._sp_mc_axis = "mc"
+            self.sp_mesh = mesh_lib.make_mesh(shape)
+        elif self.epistemic and config.mesh_shape.get("mc", 0) > 1:
             from ..parallel import mesh as mesh_lib
 
             self.mesh = mesh_lib.make_mesh({"mc": config.mesh_shape["mc"]})
@@ -143,6 +162,17 @@ class InferenceRunner:
         return decoded
 
     def _use_fused_kernels(self) -> bool:
+        # the fused channels-first kernels are single-device programs;
+        # GSPMD cannot spatially partition a pallas_call, so the sp mesh
+        # takes the XLA decode path (Pallas NMS still runs, on the
+        # replicated post-gather rows)
+        return (
+            self.config.use_pallas
+            and jax.devices()[0].platform == "tpu"
+            and self.sp_mesh is None
+        )
+
+    def _use_pallas_nms(self) -> bool:
         return self.config.use_pallas and jax.devices()[0].platform == "tpu"
 
     def exact_pipeline(self, params, stats, images, rng):
@@ -173,6 +203,42 @@ class InferenceRunner:
         imgs = images.astype(jnp.float32) / 255.0
         cfg = self.config
         obj_idx = self.spec.obj_idx(self.epistemic)
+        if self.sp_mesh is not None:
+            # image-H sharding (GSPMD): activations / device divide by the
+            # sp axis size; decode+NMS run on the gathered (replicated)
+            # head outputs — they are tiny next to the backbone activations
+            from ..parallel import spatial
+
+            if self.epistemic:
+                raws = spatial.spatial_mc_raws(
+                    params, stats, imgs, rng, spec=self.spec,
+                    mesh=self.sp_mesh, T=cfg.T,
+                    compute_dtype=self.model._dtype,
+                    mc_axis=self._sp_mc_axis,
+                )
+                decoded = self._decode_scales(raws, epistemic=True)
+                flat = decode.concat_all_scales(decoded)
+                rows, valid, _, cert = nms.nms_select(
+                    flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
+                    pre_top_k=pre_top_k,
+                    use_pallas=self._use_pallas_nms(),
+                    with_certificate=True,
+                )
+                return rows[None], valid[None], cert[None]
+            raws = spatial.spatial_forward_raws(
+                params, stats, imgs, rng, spec=self.spec, mesh=self.sp_mesh,
+                compute_dtype=self.model._dtype,
+                standard_test_dropout=cfg.standard_test_dropout,
+            )
+            decoded = self._decode_scales(raws, epistemic=False)
+            flat = decode.concat_all_scales_batched(decoded)
+            rows, valid, _, cert = nms.nms_select_batch(
+                flat, obj_idx, cfg.nms_max_boxes, cfg.nms_iou_thresh,
+                pre_top_k=pre_top_k,
+                use_pallas=self._use_pallas_nms(),
+                with_certificate=True,
+            )
+            return rows, valid, cert
         if self.epistemic:
             if self.mesh is not None:
                 # T sharded over the 'mc' mesh axis; the epistemic

@@ -26,7 +26,74 @@ from __future__ import annotations
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..models import darknet
 from ..models import yolov3 as Y
+
+
+def image_sharding(mesh, axis: str = "sp") -> NamedSharding:
+    """Sharding of an (N, H, W, C) image batch with H split over ``axis``."""
+    return NamedSharding(mesh, P(None, axis, None, None))
+
+
+def spatial_forward_raws(
+    params, stats, imgs, rng, *, spec, mesh, compute_dtype,
+    sp_axis: str = "sp", standard_test_dropout: bool = False,
+):
+    """Traceable H-sharded single forward, for use INSIDE a larger jit.
+
+    Constrains the image batch to P(None, sp) so GSPMD spatially partitions
+    every conv (halo exchanges over ICI), and the raw head outputs back to
+    replicated so the downstream decode+NMS (global, sequential) runs on
+    gathered tensors.  Used by InferenceRunner when config.mesh_shape has an
+    ``sp`` axis (standard / aleatoric variants).
+    """
+    imgs = jax.lax.with_sharding_constraint(imgs, image_sharding(mesh, sp_axis))
+    raws, _ = Y.forward(
+        params, stats, imgs, spec=spec, training=False, rng=rng,
+        standard_test_dropout=standard_test_dropout,
+        compute_dtype=compute_dtype,
+    )
+    rep = NamedSharding(mesh, P())
+    return tuple(jax.lax.with_sharding_constraint(r, rep) for r in raws)
+
+
+def spatial_mc_raws(
+    params, stats, img, rng, *, spec, mesh, T: int, compute_dtype,
+    sp_axis: str = "sp", mc_axis: str | None = None,
+):
+    """Traceable H-sharded (optionally T-sharded) epistemic MC forward.
+
+    The composed mesh the module docstring promises: the image H axis is
+    split over ``sp_axis`` (activation memory / device = 1/sp of
+    single-chip — the reference's OOM knob, inference_epistemic.py:221)
+    while the T MC-dropout samples are split over ``mc_axis`` when given.
+    Returns three (T, h, w, ch) raw tensors constrained to
+    P(mc, sp, None, None); the epistemic reduction over T then compiles to
+    an ICI all-reduce over ``mc`` and decode/NMS gather over ``sp``.
+
+    The hash-dropout masks are (key, flat-index)-keyed (ops.common.dropout),
+    so partitioning changes neither the masks nor the statistics — the
+    sharded program computes the same function as single-device.
+    """
+    assert img.shape[0] == 1, "epistemic inference requires batch_size == 1"
+    img = jax.lax.with_sharding_constraint(img, image_sharding(mesh, sp_axis))
+    out32, skip16, skip8, _ = darknet.darknet53(
+        params["backbone"], stats["backbone"], img,
+        training=False, compute_dtype=compute_dtype,
+    )
+
+    def one_sample(key):
+        raws, _ = Y._heads(
+            params, stats, out32, skip16, skip8,
+            spec=spec, training=False, dropout_active=True, rng=key,
+            compute_dtype=compute_dtype,
+        )
+        return tuple(r[0] for r in raws)  # squeeze the batch axis
+
+    keys = jax.random.split(rng, T)
+    raws = jax.vmap(one_sample)(keys)
+    sh = NamedSharding(mesh, P(mc_axis, sp_axis, None, None))
+    return tuple(jax.lax.with_sharding_constraint(r, sh) for r in raws)
 
 
 def make_spatial_sharded_forward(model, mesh, *, axis: str = "sp"):
