@@ -22,6 +22,8 @@ class DataConfig:
     """One dataset split (reference config['train'|'val'|'data'])."""
 
     file_pattern: str = ""
+    # writer-only: shard count for the CityPersons tfrecord creator
+    # (data/citypersons.py); readers glob file_pattern and ignore this
     num_shards: int = 1
     shuffle_buffer_size: int = 64
     cache: bool = False
@@ -69,7 +71,6 @@ class Config:
     thresh: float = 0.1
     step: Any = "last"
     out_path: str = "./inference"
-    batch_size_inference: int = 1
     nms_max_boxes: int = 1000  # reference: tf.image.non_max_suppression(..., 1000)
     nms_iou_thresh: float = 0.5  # TF default iou_threshold
     # Pre-NMS candidate cap.  The restriction is OPTIMISTIC, not lossy:
