@@ -84,6 +84,45 @@ def test_runner_mc_sharded_end_to_end(tmp_path, rng):
     dets = json.load(open(files[0]))["children"]
     assert dets and "obj_mutual_info" in dets[0]
 
+def test_runner_mc_sharded_xla_fallback(tmp_path, rng):
+    """mesh_shape={'mc':8} with use_pallas=False takes the GSPMD (XLA
+    decode) branch of the runner's device program — the non-Pallas
+    multi-chip route (runner._device_pipeline mesh branch)."""
+    from bayesian_yolov3_tpu.infer.runner import InferenceRunner
+    from bayesian_yolov3_tpu.train import loop as train_loop
+
+    pattern = synth.write_dataset(str(tmp_path / "data"), rng, n_images=2, img_hw=IMG[:2])
+    cfg = Config(
+        model="bayesian",
+        full_img_size=IMG,
+        batch_size=1,
+        max_boxes_per_img=8,
+        train_steps=2,
+        checkpoint_interval=2,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        darknet53_weights="",
+        run_id="mcxla",
+        T=8,
+        nms_max_boxes=20,
+        mesh_shape={"mc": 8},
+        use_pallas=False,
+        train=DataConfig(file_pattern=pattern, shuffle_buffer_size=2),
+        val=DataConfig(file_pattern=pattern, shuffle_buffer_size=2),
+        data=DataConfig(file_pattern=pattern),
+    )
+    train_loop.Trainer(cfg, seed=0).run()
+    cfg.inference_mode = True
+    cfg.out_path = str(tmp_path / "out")
+
+    runner = InferenceRunner(cfg)
+    assert runner.mesh is not None and runner._mc_fused is None  # XLA branch
+    out_dir = runner.run()
+    files = sorted(glob.glob(os.path.join(out_dir, "*.json")))
+    assert len(files) == 2
+    dets = json.load(open(files[0]))["children"]
+    assert dets and "obj_mutual_info" in dets[0]
+
+
 def test_mc_sharded_fused_pipeline_matches_single_device():
     """The shard_map fused path (partial moments -> psum -> finalize -> NMS)
     must reproduce the single-device fused pipeline: same per-sample keys,
