@@ -104,8 +104,16 @@ def dropout(x, rate: float, rng, impl: str = "hash"):
     thresh = jnp.uint32(min(round(keep * 65536.0), 65535))
     key = jax.random.bits(rng, (), jnp.uint32)  # one scalar draw per site
     idx = jax.lax.iota(jnp.uint32, x.size).reshape(x.shape)
+    # the key enters twice: xor at entry AND additively between the
+    # finalizer rounds.  With the xor alone, any two keys' masks would be
+    # exact index-translates of each other (mask_k2(i) == mask_k1(i ^
+    # (k1^k2))) — a structural pairwise dependence between MC samples that
+    # deviates from the iid assumption behind the epistemic variance.  The
+    # mid-pipeline add makes distinct keys distinct functions, not index
+    # permutations (tested: test_mc_dropout.py key-translate test).
     h = idx ^ key
     h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
+    h = h + key
     h = (h ^ (h >> 15)) * jnp.uint32(0x846CA68B)
     h = h ^ (h >> 16)
     return jnp.where(

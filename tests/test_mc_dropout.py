@@ -95,6 +95,35 @@ def test_hash_dropout_statistical_quality():
         assert abs(corr(m1[:-lag], m1[lag:])) < 5e-3, lag
 
 
+def test_hash_dropout_keys_are_not_index_translates():
+    """Distinct keys must yield masks that are NOT index-translates of each
+    other.  A pure entry-xor hash has mask_k2(i) == mask_k1(i ^ (k1^k2))
+    for every i — a structural pairwise dependence between MC samples that
+    violates the iid assumption behind the epistemic variance (the
+    mid-pipeline key add in ops.common.dropout breaks it).
+
+    Seeds 4/104 are chosen so their scalar site keys differ by a small
+    xor-delta (928311 < 2^20), keeping every translated index in range."""
+    k1, k2 = jax.random.PRNGKey(4), jax.random.PRNGKey(104)
+    s1 = int(jax.random.bits(k1, (), jnp.uint32))
+    s2 = int(jax.random.bits(k2, (), jnp.uint32))
+    delta = s1 ^ s2
+    assert 0 < delta < (1 << 20)  # seed-pair precondition
+
+    n = 1 << 21  # delta only flips bits 0..19 -> i ^ delta always < n
+    x = jnp.ones((n,), jnp.float32)
+    rate = 0.1
+    m1 = np.asarray(common.dropout(x, rate, k1)) != 0
+    m2 = np.asarray(common.dropout(x, rate, k2)) != 0
+    translated = m2[np.arange(n, dtype=np.int64) ^ delta]
+
+    agree = (m1 == translated).mean()
+    # translate-structured masks agree everywhere; independent masks agree
+    # with prob keep^2 + rate^2 = 0.82 (binomial std ~ 2.7e-4 at n=2^21)
+    assert agree < 0.99, "masks are index-translates of each other"
+    assert abs(agree - 0.82) < 5e-3, agree
+
+
 def test_epistemic_variance_positive_and_vanishes_without_dropout():
     """Statistical parity: MC sampling yields positive epistemic variance;
     with dropout disabled the epistemic covariance collapses to ~0."""
