@@ -82,11 +82,14 @@ def _png_native():
         import ctypes
 
         lib = tfrecord._load_native()
-        if lib and hasattr(lib, "byolo_png_decode_rgb"):
-            lib.byolo_png_info.restype = ctypes.c_int
-            lib.byolo_png_info.argtypes = [
+        if lib and hasattr(lib, "byolo_png_decode_rgb") and hasattr(
+            lib, "byolo_png_probe"
+        ):
+            lib.byolo_png_probe.restype = ctypes.c_int
+            lib.byolo_png_probe.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
             ]
             lib.byolo_png_decode_rgb.restype = ctypes.c_int
             lib.byolo_png_decode_rgb.argtypes = [
@@ -104,14 +107,26 @@ def decode_png(data: bytes) -> np.ndarray:
     minus the [0,1) scaling which happens on device).
 
     Decodes through the native libpng kernel (native/png_decode.c) when
-    built, PIL otherwise — outputs are identical (tested)."""
+    built, PIL otherwise — outputs are identical for the color types the
+    native path accepts (8-bit gray/palette/RGB, tested).  Alpha and
+    16-bit PNGs always decode through PIL: libpng's simplified API
+    composites alpha against a background and rescales 16-bit samples
+    differently from PIL's convert("RGB"), and training pixels must not
+    depend on whether the native kernel was built."""
     lib = _png_native()
     if lib:
         import ctypes
 
         h = ctypes.c_int32()
         w = ctypes.c_int32()
-        if lib.byolo_png_info(data, len(data), ctypes.byref(h), ctypes.byref(w)) == 0:
+        flags = ctypes.c_int32()
+        if (
+            lib.byolo_png_probe(
+                data, len(data), ctypes.byref(h), ctypes.byref(w),
+                ctypes.byref(flags),
+            ) == 0
+            and flags.value == 0  # no alpha, not 16-bit
+        ):
             out = np.empty((h.value, w.value, 3), np.uint8)
             rc = lib.byolo_png_decode_rgb(
                 data, len(data), out.ctypes.data_as(ctypes.c_void_p), out.nbytes

@@ -7,8 +7,13 @@
  * (data/pipeline.py) scales across real cores.  PIL remains the fallback
  * when libpng is unavailable at build time (see native/build.sh).
  *
- * Gray / palette / alpha inputs are converted to RGB by libpng, matching
- * PIL's Image.convert("RGB") and TF's decode_png(channels=3).
+ * Gray / palette inputs are converted to RGB by libpng, matching PIL's
+ * Image.convert("RGB") and TF's decode_png(channels=3).  Alpha and 16-bit
+ * inputs are NOT taken on this path: libpng's simplified API composites
+ * alpha against a background and rescales 16-bit differently from PIL, so
+ * the loader probes the format first (byolo_png_probe) and routes those
+ * through the PIL fallback — hosts with and without the native kernel
+ * must produce identical training pixels.
  */
 
 #include <png.h>
@@ -24,6 +29,27 @@ int byolo_png_info(const uint8_t *data, size_t len, int32_t *h, int32_t *w) {
         return -1;
     *h = (int32_t)image.height;
     *w = (int32_t)image.width;
+    png_image_free(&image);
+    return 0;
+}
+
+/* Like byolo_png_info, plus the file's natural-format flags so the caller
+ * can reject inputs whose RGB conversion is not bit-identical to PIL:
+ * bit 0 = alpha channel present, bit 1 = 16-bit (linear) samples. */
+int byolo_png_probe(const uint8_t *data, size_t len, int32_t *h, int32_t *w,
+                    int32_t *flags) {
+    png_image image;
+    memset(&image, 0, sizeof image);
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_memory(&image, data, len))
+        return -1;
+    *h = (int32_t)image.height;
+    *w = (int32_t)image.width;
+    *flags = 0;
+    if (image.format & PNG_FORMAT_FLAG_ALPHA)
+        *flags |= 1;
+    if (image.format & PNG_FORMAT_FLAG_LINEAR)
+        *flags |= 2;
     png_image_free(&image);
     return 0;
 }

@@ -155,6 +155,35 @@ def test_native_png_decode_matches_pil(rng):
         want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
         np.testing.assert_array_equal(got, want, err_msg=mode)
 
+    # palette (8-bit, no alpha): also on the native path, PIL-identical
+    pal_src = Image.fromarray(
+        rng.integers(0, 255, (40, 56, 3), dtype=np.uint8), "RGB"
+    ).quantize(colors=32)
+    b = io.BytesIO()
+    pal_src.save(b, "PNG")
+    data = b.getvalue()
+    got = pipeline.decode_png(data)
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+    np.testing.assert_array_equal(got, want, err_msg="P")
+
+    # alpha and 16-bit inputs must NOT take the native path (libpng's
+    # simplified API composites alpha / rescales 16-bit differently from
+    # PIL): decode_png must return exactly what the PIL fallback returns,
+    # so training pixels never depend on whether the kernel was built
+    rgba = rng.integers(0, 255, (40, 56, 4), dtype=np.uint8)
+    data = png_bytes(rgba, "RGBA")
+    got = pipeline.decode_png(data)
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+    np.testing.assert_array_equal(got, want, err_msg="RGBA")
+
+    g16 = rng.integers(0, 65535, (40, 56), dtype=np.uint16)
+    b = io.BytesIO()
+    Image.fromarray(g16, "I;16").save(b, "PNG")
+    data = b.getvalue()
+    got = pipeline.decode_png(data)
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+    np.testing.assert_array_equal(got, want, err_msg="16-bit")
+
     # corrupt input: falls back to PIL, which raises -> decode_png raises
     with pytest.raises(Exception):
         pipeline.decode_png(b"not a png")
