@@ -153,6 +153,79 @@ def _fast_stem(params, stats, x, compute_dtype):
     return leaky_relu(h * scale + bias).astype(compute_dtype)
 
 
+def _fused_early_stages(params, stats, x, compute_dtype):
+    """Convs 0-8 (s2d stem, res64, stride-2 64->128, res128 x2) via the
+    fused channels-first Pallas kernels (ops.pallas_conv).
+
+    These high-resolution low-channel stages run at 8-18% MFU under XLA's
+    per-tap conv lowering (BENCH_NOTES.md round-3 accounting); the fused
+    kernels K-stack the taps on the MXU contracting dimension and keep
+    every intermediate in VMEM.  Inference / frozen-BN only (moving
+    statistics), bf16 activations.  Returns the (N, H/4, W/4, 128)
+    activation feeding the 256-channel stage, plus the next conv index.
+    """
+    from ..ops import pallas_conv as pc
+
+    interpret = jax.default_backend() != "tpu"
+    n, H, W, _ = x.shape
+    h2, w2 = H // 2, W // 2
+    wp = -(-w2 // 256) * 256  # lane pad; wp/2 must stay a lane multiple
+
+    p0, s0 = params[_conv_name(0)], stats[_conv_name(0)]
+    p1, s1 = params[_conv_name(1)], stats[_conv_name(1)]
+    k3, k2 = _stem_kernels(
+        p0["w"].astype(jnp.bfloat16), p1["w"].astype(jnp.bfloat16)
+    )
+    bn1 = pc.fold_bn(
+        jnp.tile(p0["gamma"], 4), jnp.tile(p0["beta"], 4),
+        jnp.tile(s0["mean"], 4), jnp.tile(s0["var"], 4),
+    )
+
+    def bn_of(i):
+        p, s = params[_conv_name(i)], stats[_conv_name(i)]
+        return pc.fold_bn(p["gamma"], p["beta"], s["mean"], s["var"])
+
+    xf = pc.pack_nhwc_to_flat_cf(_space_to_depth(x), wp, c_pad=16)
+    h = pc.fused_stem_cf(
+        xf, k3, k2, bn1, bn_of(1), h=h2, w_real=w2, wp=wp,
+        interpret=interpret,
+    )
+    h = pc.fused_res_block_cf(
+        h, params[_conv_name(2)]["w"], params[_conv_name(3)]["w"],
+        bn_of(2), bn_of(3), h=h2, w_real=w2, wp=wp, interpret=interpret,
+        pack_phases=True,  # stride-2 consumer reads lane-aligned halves
+    )
+    h4, w4, hw = h2 // 2, w2 // 2, wp // 2
+    h = pc.fused_downsample_packed_cf(
+        h, params[_conv_name(4)]["w"], bn_of(4),
+        h_out=h4, w_real_out=w4, wp_in=wp, interpret=interpret,
+    )
+    h = pc.fused_res_block_cf(
+        h, params[_conv_name(5)]["w"], params[_conv_name(6)]["w"],
+        bn_of(5), bn_of(6), h=h4, w_real=w4, wp=hw, interpret=interpret,
+    )
+    h = pc.fused_res_block_cf(
+        h, params[_conv_name(7)]["w"], params[_conv_name(8)]["w"],
+        bn_of(7), bn_of(8), h=h4, w_real=w4, wp=hw, interpret=interpret,
+    )
+    return pc.unpack_flat_cf_to_nhwc(h, h4, w4, hw, dtype=compute_dtype), 9
+
+
+def _fused_early_ok(x, training, compute_dtype):
+    """Auto-gate for the fused early stages: inference/frozen BN, bf16,
+    geometry tiles cleanly, and a real TPU backend (the interpret-mode
+    kernels are for tests; CPU inference keeps the XLA path)."""
+    from ..ops.pallas_conv import HT
+
+    H = x.shape[1]
+    return (
+        not training
+        and compute_dtype == jnp.bfloat16
+        and H % (4 * HT) == 0
+        and jax.default_backend() == "tpu"
+    )
+
+
 def darknet53(
     params: Dict,
     stats: Dict,
@@ -161,6 +234,7 @@ def darknet53(
     training: bool = False,
     compute_dtype=jnp.float32,
     fast_stem: bool = True,
+    fused_early=None,
 ):
     """Run the backbone.  Returns (out_s32, skip_s16, skip_s8, new_stats).
 
@@ -172,6 +246,12 @@ def darknet53(
     the 2x2 space-to-depth domain (see ``_stem_kernels``) — numerically the
     same function, ~10x cheaper on the MXU.  Batch-stat BN (``training``)
     falls back to the plain path.
+
+    ``fused_early`` (None = auto on TPU): the whole early backbone
+    (convs 0-8) runs as fused Pallas kernels (``_fused_early_stages``) —
+    bf16 inference only; numerically equivalent up to bf16 reduction
+    order.  Pass False under GSPMD spatial sharding (the kernels cannot
+    be auto-partitioned; shard_map paths are fine — per-device shapes).
     """
     new_stats = {}
 
@@ -184,8 +264,15 @@ def darknet53(
         new_stats[name] = s
         return y
 
+    if fused_early is None:
+        fused_early = _fused_early_ok(x, training, compute_dtype)
     skip8 = skip16 = None
-    if fast_stem and not training:
+    if fused_early:
+        h, i = _fused_early_stages(params, stats, x, compute_dtype)
+        for k in range(9):
+            new_stats[_conv_name(k)] = stats[_conv_name(k)]
+        remaining = list(_STAGES)[2:]
+    elif fast_stem and not training:
         h = _fast_stem(params, stats, x, compute_dtype)
         new_stats[_conv_name(0)] = stats[_conv_name(0)]
         new_stats[_conv_name(1)] = stats[_conv_name(1)]

@@ -150,6 +150,7 @@ def forward(
     rng=None,
     standard_test_dropout: bool = False,
     compute_dtype=jnp.float32,
+    fused_early=None,
 ):
     """Single forward pass.  Returns ((raw1, raw2, raw3), new_stats).
 
@@ -165,6 +166,7 @@ def forward(
     out32, skip16, skip8, bstats = darknet.darknet53(
         params["backbone"], stats["backbone"], imgs,
         training=backbone_training, compute_dtype=compute_dtype,
+        fused_early=fused_early,
     )
     dropout_active = spec.mc_dropout and not standard_test_dropout
     raws, hstats = _heads(
@@ -186,6 +188,7 @@ def mc_forward(
     T: int,
     rng,
     compute_dtype=jnp.float32,
+    fused_early=None,
 ):
     """T-sample MC-dropout forward for epistemic inference (batch size 1).
 
@@ -199,6 +202,7 @@ def mc_forward(
     out32, skip16, skip8, _ = darknet.darknet53(
         params["backbone"], stats["backbone"], img,
         training=False, compute_dtype=compute_dtype,
+        fused_early=fused_early,
     )
 
     def one_sample(key):
@@ -222,6 +226,7 @@ def mc_forward_cf(
     T: int,
     rng,
     compute_dtype=jnp.float32,
+    fused_early=None,
 ):
     """T-sample MC forward emitting CHANNELS-FIRST raw heads.
 
@@ -245,6 +250,7 @@ def mc_forward_cf(
     out32, skip16, skip8, _ = darknet.darknet53(
         params["backbone"], stats["backbone"], img,
         training=False, compute_dtype=compute_dtype,
+        fused_early=fused_early,
     )
 
     def one_sample(key):
@@ -275,6 +281,7 @@ def forward_cf(
     rng=None,
     standard_test_dropout: bool = False,
     compute_dtype=jnp.float32,
+    fused_early=None,
 ):
     """Batched inference forward emitting CHANNELS-FIRST raw heads.
 
@@ -288,6 +295,7 @@ def forward_cf(
     out32, skip16, skip8, _ = darknet.darknet53(
         params["backbone"], stats["backbone"], imgs,
         training=False, compute_dtype=compute_dtype,
+        fused_early=fused_early,
     )
     dropout_active = spec.mc_dropout and not standard_test_dropout
     feats, _ = _heads(

@@ -130,17 +130,28 @@ def nms_select(
         decoded = decoded[top_idx[:pre_top_k]]
     if use_pallas:
         # whole greedy loop in VMEM (ops.pallas_nms); -inf-score padding to
-        # a lane multiple never gets selected
-        from .pallas_nms import LANES, greedy_nms_pallas
+        # a lane multiple never gets selected.  The image-vectorized kernel
+        # (no per-iteration scalar stores) is preferred whenever its planes
+        # fit the VMEM budget.
+        from .pallas_nms import (
+            LANES, fits_imgvec, greedy_nms_pallas, greedy_nms_pallas_imgvec,
+        )
 
         n = decoded.shape[0]
         pad = (-n) % LANES
         boxes = jnp.pad(decoded[:, :4], ((0, pad), (0, 0)))
         scores = jnp.pad(decoded[:, obj_idx], (0, pad), constant_values=-jnp.inf)
-        indices, count = greedy_nms_pallas(
-            boxes, scores, max_out=max_out, iou_thresh=float(iou_thresh),
-            interpret=interpret,
-        )
+        if fits_imgvec(1, n + pad):
+            indices, count = greedy_nms_pallas_imgvec(
+                boxes[None], scores[None], max_out=max_out,
+                iou_thresh=float(iou_thresh), interpret=interpret,
+            )
+            indices, count = indices[0], count[0]
+        else:
+            indices, count = greedy_nms_pallas(
+                boxes, scores, max_out=max_out, iou_thresh=float(iou_thresh),
+                interpret=interpret,
+            )
     else:
         indices, count = greedy_nms(
             decoded[:, :4], decoded[:, obj_idx], max_out, iou_thresh
@@ -196,7 +207,10 @@ def nms_select_batch(
             decoded, top_idx[:, :pre_top_k, None], axis=1
         )
     if use_pallas:
-        from .pallas_nms import LANES, greedy_nms_pallas_batched
+        from .pallas_nms import (
+            LANES, fits_imgvec, greedy_nms_pallas_batched,
+            greedy_nms_pallas_imgvec,
+        )
 
         n = decoded.shape[1]
         pad = (-n) % LANES
@@ -204,7 +218,12 @@ def nms_select_batch(
         scores = jnp.pad(
             decoded[:, :, obj_idx], ((0, 0), (0, pad)), constant_values=-jnp.inf
         )
-        indices, count = greedy_nms_pallas_batched(
+        kernel = (
+            greedy_nms_pallas_imgvec
+            if fits_imgvec(decoded.shape[0], n + pad)
+            else greedy_nms_pallas_batched
+        )
+        indices, count = kernel(
             boxes, scores, max_out=max_out, iou_thresh=float(iou_thresh),
             interpret=interpret,
         )

@@ -48,10 +48,12 @@ def spatial_forward_raws(
     ``sp`` axis (standard / aleatoric variants).
     """
     imgs = jax.lax.with_sharding_constraint(imgs, image_sharding(mesh, sp_axis))
+    # fused_early=False: GSPMD cannot spatially partition the Pallas
+    # early-stage kernels; the XLA conv path shards cleanly
     raws, _ = Y.forward(
         params, stats, imgs, spec=spec, training=False, rng=rng,
         standard_test_dropout=standard_test_dropout,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, fused_early=False,
     )
     rep = NamedSharding(mesh, P())
     return tuple(jax.lax.with_sharding_constraint(r, rep) for r in raws)
@@ -79,7 +81,7 @@ def spatial_mc_raws(
     img = jax.lax.with_sharding_constraint(img, image_sharding(mesh, sp_axis))
     out32, skip16, skip8, _ = darknet.darknet53(
         params["backbone"], stats["backbone"], img,
-        training=False, compute_dtype=compute_dtype,
+        training=False, compute_dtype=compute_dtype, fused_early=False,
     )
 
     def one_sample(key):
@@ -114,7 +116,7 @@ def make_spatial_sharded_forward(model, mesh, *, axis: str = "sp"):
         imgs = jax.lax.with_sharding_constraint(imgs, img_sh)
         raws, _ = Y.forward(
             params, stats, imgs, spec=model.spec, training=False, rng=rng,
-            compute_dtype=model._dtype,
+            compute_dtype=model._dtype, fused_early=False,
         )
         # NMS/decode are global: gather the (small) head outputs
         return tuple(jax.lax.with_sharding_constraint(r, rep) for r in raws)

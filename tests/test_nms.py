@@ -129,6 +129,30 @@ def test_nms_select_batch_matches_single(rng, use_pallas):
         np.testing.assert_array_equal(np.asarray(rows[b]), np.asarray(w_rows))
 
 
+def test_pallas_nms_imgvec_matches_per_image(rng):
+    """The image-VECTORIZED kernel (all images advance one greedy step per
+    traversal; selection order reconstructed by top_k over the selected
+    subset) must select identically to per-image greedy NMS — including an
+    all-empty image, exact score ties, and counts below max_out."""
+    from bayesian_yolov3_tpu.ops.pallas_nms import greedy_nms_pallas_imgvec
+
+    nb, n = 4, 256
+    boxes = np.stack([_random_boxes(rng, n)[0] for _ in range(nb)])
+    scores = np.stack([_random_boxes(rng, n)[1] for _ in range(nb)])
+    scores[1, :] = -np.inf          # empty image: no candidate selectable
+    scores[2, 10:20] = scores[2, 5]  # exact ties -> lower-index order
+    boxes[3, 50:] = boxes[3, :1]     # heavy suppression -> count << max_out
+    got_idx, got_cnt = greedy_nms_pallas_imgvec(
+        jnp.asarray(boxes), jnp.asarray(scores), 100, 0.5, interpret=True
+    )
+    for b in range(nb):
+        want_idx, want_cnt = nms.greedy_nms(
+            jnp.asarray(boxes[b]), jnp.asarray(scores[b]), 100, 0.5
+        )
+        assert int(got_cnt[b]) == int(want_cnt)
+        np.testing.assert_array_equal(np.asarray(got_idx[b]), np.asarray(want_idx))
+
+
 def test_pallas_nms_matches_xla(rng):
     from bayesian_yolov3_tpu.ops.pallas_nms import greedy_nms_pallas
 
