@@ -136,7 +136,7 @@ def fold_bn(gamma, beta, mean, var):
 # ---------------------------------------------------------------------------
 
 
-def _stem_kernel(x_hbm, w1, w2, s1, b1, s2, b2, out, x_s, patches, sem,
+def _stem_kernel(x_hbm, w1, w2, s1, b1, s2, b2, out, x_s2, patches, sems,
                  *, wp, w_real, n_tiles):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -144,26 +144,36 @@ def _stem_kernel(x_hbm, w1, w2, s1, b1, s2, b2, out, x_s, patches, sem,
     tp = ht * wp
     interior = (j > 0) & (j < n_tiles - 1)
 
+    def dma(jj, slot):
+        # x rows [R0-2 .. R0+ht] (R0 = (jj-1)*ht) -> start (R0+PAD-2)*wp
+        return pltpu.make_async_copy(
+            x_hbm.at[i, :, pl.ds((jj - 1) * ht * wp + (PAD - 2) * wp,
+                                 (ht + 3) * wp)],
+            x_s2.at[slot], sems.at[slot],
+        )
+
+    @pl.when(j == 1)
+    def _():
+        dma(1, 1).start()
+
+    @pl.when((j >= 1) & (j + 1 <= n_tiles - 2))
+    def _():
+        dma(j + 1, (j + 1) % 2).start()
+
     @pl.when(jnp.logical_not(interior))
     def _():
         out[0] = jnp.zeros_like(out[0])
 
     @pl.when(interior)
     def _():
-        # x rows [R0-2 .. R0+ht] (R0 = (j-1)*ht) -> flat start (R0+PAD-2)*wp
-        cp = pltpu.make_async_copy(
-            x_hbm.at[i, :, pl.ds((j - 1) * ht * wp + (PAD - 2) * wp,
-                                 (ht + 3) * wp)],
-            x_s, sem,
-        )
-        cp.start()
-        cp.wait()
-        cin = x_s.shape[0]
+        dma(j, j % 2).wait()
+        xv = x_s2[j % 2]
+        cin = xv.shape[0]
         pix1 = (ht + 1) * wp  # t1 rows [-1 .. ht-1]
 
         # conv1: all nine taps in one K = 9*cin matmul (cin is tiny)
         for dj in (-1, 0, 1):
-            xr = _roll_cols(x_s[...], dj)
+            xr = _roll_cols(xv, dj)
             for di in range(3):
                 k = (di * 3 + (dj + 1)) * cin
                 patches[k:k + cin, :] = xr[:, di * wp:di * wp + pix1]
@@ -241,9 +251,9 @@ def fused_stem_cf(x_flat, k3, k2, bn1, bn2, *, h, w_real, wp,
         out_shape=jax.ShapeDtypeStruct((n, c2, (h + 2 * PAD) * wp),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((cin, (HT + 3) * wp), jnp.bfloat16),
+            pltpu.VMEM((2, cin, (HT + 3) * wp), jnp.bfloat16),
             pltpu.VMEM((9 * cin, (HT + 1) * wp), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x_flat, w1, w2, s1, b1, s2, b2)
@@ -269,13 +279,31 @@ def _store_phase_packed(out, y, s_pack, wp, ht):
         out[0, :, r * wp:(r + 1) * wp] = packed.astype(jnp.bfloat16)
 
 
-def _res_kernel(x_hbm, wa, wb, sa, ba, sb, bb, s_pack, out, x_s, patches,
-                sem, *, wp, w_real, n_tiles, pack_phases):
+def _res_kernel(x_hbm, wa, wb, sa, ba, sb, bb, s_pack, out, x_s2, patches,
+                sems, *, wp, w_real, n_tiles, pack_phases):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ht = HT
     tp = ht * wp
     interior = (j > 0) & (j < n_tiles - 1)
+
+    # double-buffered input DMA: tile j's fetch was started during tile
+    # j-1 (slot j % 2); this step starts j+1's fetch into the other slot
+    # so the HBM read overlaps this tile's compute.
+    def dma(jj, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[i, :, pl.ds((jj - 1) * ht * wp + (PAD - 1) * wp,
+                                 (ht + 2) * wp)],
+            x_s2.at[slot], sems.at[slot],
+        )
+
+    @pl.when(j == 1)
+    def _():
+        dma(1, 1).start()
+
+    @pl.when((j >= 1) & (j + 1 <= n_tiles - 2))
+    def _():
+        dma(j + 1, (j + 1) % 2).start()
 
     @pl.when(jnp.logical_not(interior))
     def _():
@@ -283,16 +311,11 @@ def _res_kernel(x_hbm, wa, wb, sa, ba, sb, bb, s_pack, out, x_s, patches,
 
     @pl.when(interior)
     def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[i, :, pl.ds((j - 1) * ht * wp + (PAD - 1) * wp,
-                                 (ht + 2) * wp)],
-            x_s, sem,
-        )
-        cp.start()
-        cp.wait()
+        dma(j, j % 2).wait()
+        xv = x_s2[j % 2]
         pixh = (ht + 2) * wp
         # 1x1 reduce over the halo extent (the 3x3 needs t's halo rows)
-        t = _leaky(_mm(wa[...], x_s[...]) * sa[...] + ba[...])
+        t = _leaky(_mm(wa[...], xv) * sa[...] + ba[...])
         t = jnp.where(_col_mask(pixh, wp, w_real), t, 0.0)
         # the 3x3's SAME padding demands t == EXACT zero on rows outside
         # the image (the 1x1 of a zero pad row is leaky(bias) != 0): row
@@ -306,7 +329,7 @@ def _res_kernel(x_hbm, wa, wb, sa, ba, sb, bb, s_pack, out, x_s, patches,
         acc = _conv3x3_acc(wb, t, wp, tp, patches)
         y = _leaky(acc * sb[...] + bb[...])
         y = jnp.where(_col_mask(tp, wp, w_real), y, 0.0)
-        y = (y + x_s[:, wp:wp + tp].astype(jnp.float32)).astype(
+        y = (y + xv[:, wp:wp + tp].astype(jnp.float32)).astype(
             jnp.bfloat16)
         if pack_phases:
             _store_phase_packed(out, y, s_pack, wp, ht)
@@ -356,9 +379,9 @@ def fused_res_block_cf(x_flat, wa, wb, bna, bnb, *, h, w_real, wp,
         out_shape=jax.ShapeDtypeStruct((n, c, (h + 2 * PAD) * wp),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((c, (HT + 2) * wp), jnp.bfloat16),
+            pltpu.VMEM((2, c, (HT + 2) * wp), jnp.bfloat16),
             pltpu.VMEM((3 * cmid, HT * wp), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x_flat, wa2, wb2, sa, ba, sb, bb, s_pack)
@@ -462,8 +485,8 @@ def fused_downsample_cf(x_even, x_odd, w, bn, *, h_out, w_real_out, hw,
     )(x_even, x_odd, w2, s, b)
 
 
-def _down_packed_kernel(x_hbm, w, s, b, out, x_s, xe_s, xo_s, patches,
-                        sem, *, wp_in, w_real_out, n_tiles):
+def _down_packed_kernel(x_hbm, w, s, b, out, x_s2, xe_s, xo_s, patches,
+                        sems, *, wp_in, w_real_out, n_tiles):
     # x: phase-packed rows [even half | odd half] (pack_phases producer).
     # Same tap logic as _down_kernel, but the halves come from lane-
     # aligned per-row slices of one DMA'd tile instead of two arrays.
@@ -472,9 +495,25 @@ def _down_packed_kernel(x_hbm, w, s, b, out, x_s, xe_s, xo_s, patches,
     ht = HT
     hw = wp_in // 2
     tp = ht * hw
-    cin = x_s.shape[0]
+    cin = xe_s.shape[0]
     n_rows = 2 * ht + 2
     interior = (j > 0) & (j < n_tiles - 1)
+
+    def dma(jj, slot):
+        # input rows [2*R0-1 .. 2*R0+2*ht] (R0 = (jj-1)*ht)
+        return pltpu.make_async_copy(
+            x_hbm.at[i, :, pl.ds((2 * (jj - 1) * ht + PAD - 1) * wp_in,
+                                 n_rows * wp_in)],
+            x_s2.at[slot], sems.at[slot],
+        )
+
+    @pl.when(j == 1)
+    def _():
+        dma(1, 1).start()
+
+    @pl.when((j >= 1) & (j + 1 <= n_tiles - 2))
+    def _():
+        dma(j + 1, (j + 1) % 2).start()
 
     @pl.when(jnp.logical_not(interior))
     def _():
@@ -482,16 +521,12 @@ def _down_packed_kernel(x_hbm, w, s, b, out, x_s, xe_s, xo_s, patches,
 
     @pl.when(interior)
     def _():
-        # input rows [2*R0-1 .. 2*R0+2*ht] (R0 = (j-1)*ht)
-        start = (2 * (j - 1) * ht + PAD - 1) * wp_in
-        cp = pltpu.make_async_copy(
-            x_hbm.at[i, :, pl.ds(start, n_rows * wp_in)], x_s, sem)
-        cp.start()
-        cp.wait()
+        dma(j, j % 2).wait()
+        xv = x_s2[j % 2]
         for q in range(n_rows):
-            xe_s[:, q * hw:(q + 1) * hw] = x_s[:, q * wp_in:q * wp_in + hw]
-            xo_s[:, q * hw:(q + 1) * hw] = x_s[:, q * wp_in + hw:
-                                               (q + 1) * wp_in]
+            xe_s[:, q * hw:(q + 1) * hw] = xv[:, q * wp_in:q * wp_in + hw]
+            xo_s[:, q * hw:(q + 1) * hw] = xv[:, q * wp_in + hw:
+                                              (q + 1) * wp_in]
 
         acc = None
         for bcol in (-1, 0, 1):
@@ -546,11 +581,11 @@ def fused_downsample_packed_cf(x_packed, w, bn, *, h_out, w_real_out,
         out_shape=jax.ShapeDtypeStruct((n, cout, (h_out + 2 * PAD) * hw),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((c, n_rows * wp_in), jnp.bfloat16),
+            pltpu.VMEM((2, c, n_rows * wp_in), jnp.bfloat16),
             pltpu.VMEM((c, n_rows * hw), jnp.bfloat16),
             pltpu.VMEM((c, n_rows * hw), jnp.bfloat16),
             pltpu.VMEM((3 * c, HT * hw), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x_packed, w2, s, b)
