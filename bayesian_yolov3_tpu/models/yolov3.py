@@ -227,6 +227,7 @@ def mc_forward_cf(
     rng,
     compute_dtype=jnp.float32,
     fused_early=None,
+    fused_heads=None,
 ):
     """T-sample MC forward emitting CHANNELS-FIRST raw heads.
 
@@ -252,6 +253,23 @@ def mc_forward_cf(
         training=False, compute_dtype=compute_dtype,
         fused_early=fused_early,
     )
+
+    if fused_heads is None:
+        # default OFF while the kernel path trails the XLA heads end to end
+        # (kernels are correct and 87-96% MFU; the XLA glue between them is
+        # being fused — see ops/pallas_heads.py); flip via fused_heads=True
+        fused_heads = False
+    if fused_heads:
+        # fused Pallas head section: conv + dropout mask + BN + leaky in one
+        # VMEM pass — bit-identical mask draws, bf16 reduction-order noise
+        # only (models/heads_pallas.py)
+        from .heads_pallas import mc_heads_pallas_cf
+
+        return mc_heads_pallas_cf(
+            params, stats, out32, skip16, skip8, T=T, rng=rng,
+            head_ch=spec.head_channels_per_prior * 3,
+            interpret=jax.default_backend() != "tpu",
+        )
 
     def one_sample(key):
         feats, _ = _heads(

@@ -73,6 +73,34 @@ def conv2d(x, w, *, stride: int = 1, darknet_pad: bool = True, padding=None):
     )
 
 
+KEEP_THRESH_16 = 58982  # = min(round(0.9 * 65536), 65535); keep-prob 0.9 quantized
+
+
+def hash_keep(idx, key, thresh):
+    """The fused-dropout Bernoulli draw: keep iff lowbias32-style
+    hash(idx, key) & 0xFFFF < thresh.
+
+    idx/key/thresh: uint32.  The key enters twice: xor at entry AND
+    additively between the finalizer rounds.  With the xor alone, any two
+    keys' masks would be exact index-translates of each other
+    (mask_k2(i) == mask_k1(i ^ (k1^k2))) — a structural pairwise dependence
+    between MC samples that deviates from the iid assumption behind the
+    epistemic variance.  The mid-pipeline add makes distinct keys distinct
+    functions, not index permutations (test_mc_dropout.py key-translate
+    test).
+
+    Single source of truth: used by ``dropout`` (the XLA path) and by the
+    fused head kernels (ops/pallas_heads.py), which evaluate it in-register
+    — the two paths draw bit-identical masks.
+    """
+    h = idx ^ key
+    h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
+    h = h + key
+    h = (h ^ (h >> 15)) * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return (h & jnp.uint32(0xFFFF)) < thresh
+
+
 def dropout(x, rate: float, rng, impl: str = "hash"):
     """Inverted dropout (tf.layers.dropout semantics, layers.py:521-524).
 
@@ -104,20 +132,8 @@ def dropout(x, rate: float, rng, impl: str = "hash"):
     thresh = jnp.uint32(min(round(keep * 65536.0), 65535))
     key = jax.random.bits(rng, (), jnp.uint32)  # one scalar draw per site
     idx = jax.lax.iota(jnp.uint32, x.size).reshape(x.shape)
-    # the key enters twice: xor at entry AND additively between the
-    # finalizer rounds.  With the xor alone, any two keys' masks would be
-    # exact index-translates of each other (mask_k2(i) == mask_k1(i ^
-    # (k1^k2))) — a structural pairwise dependence between MC samples that
-    # deviates from the iid assumption behind the epistemic variance.  The
-    # mid-pipeline add makes distinct keys distinct functions, not index
-    # permutations (tested: test_mc_dropout.py key-translate test).
-    h = idx ^ key
-    h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
-    h = h + key
-    h = (h ^ (h >> 15)) * jnp.uint32(0x846CA68B)
-    h = h ^ (h >> 16)
     return jnp.where(
-        (h & jnp.uint32(0xFFFF)) < thresh, x / keep, jnp.zeros_like(x)
+        hash_keep(idx, key, thresh), x / keep, jnp.zeros_like(x)
     ).astype(x.dtype)
 
 
@@ -187,6 +203,10 @@ def detection_conv_cf(params: Dict, feats, *, compute_dtype=jnp.float32):
     ~30 ms XLA transpose of the (T, hw, ch) tensor at ECP resolution.
     """
     t, *mid, cin = feats.shape
+    if compute_dtype == jnp.bfloat16 and jax.default_backend() != "tpu":
+        # XLA:CPU's DotThunk has no BF16 x BF16 = F32 kernel; run the
+        # contraction in f32 there (tests/oracles only — never the TPU path)
+        compute_dtype = jnp.float32
     x = feats.reshape(t, int(np.prod(mid)), cin).astype(compute_dtype)
     kernel = params["w"].reshape(cin, -1).astype(compute_dtype)  # (cin, ch)
     out = jax.lax.dot_general(
