@@ -38,6 +38,8 @@ from ..ops.pallas_heads import (
     fused_conv1x1_cf,
     fused_conv3x3_cf,
     fused_head_pair_cf,
+    fused_trans_upsample_cf,
+    layout_fence,
 )
 
 
@@ -103,10 +105,14 @@ def upsample2x_flat_cf(x, h: int, wp: int):
 
 
 def _det_to_raw_cf(det, ch: int, h: int, w: int, wp: int):
-    """Kernel det output (T, ch_pad, (h+2*PAD)*wp) f32 -> (ch, T, h*w)."""
-    t, _, _ = det.shape
-    d = det.reshape(t, -1, h + 2 * PAD, wp)[:, :ch, PAD:PAD + h, :w]
-    return jnp.transpose(d, (1, 0, 2, 3)).reshape(ch, t, h * w)
+    """Kernel det output (ch_pad, T*(h+2*PAD)*wp) f32 -> (ch, T, h*w).
+
+    The kernels emit detections channel-major / sample-major pixel planes,
+    so the decoder view is a pad-stripping SLICE — no transpose pass."""
+    chp, tl = det.shape
+    t = tl // ((h + 2 * PAD) * wp)
+    d = det.reshape(chp, t, h + 2 * PAD, wp)[:ch, :, PAD:PAD + h, :w]
+    return d.reshape(ch, t, h * w)
 
 
 def mc_heads_pallas_cf(
@@ -128,6 +134,14 @@ def mc_heads_pallas_cf(
     contract.
     """
     assert dn_out.shape[0] == 1, "pallas head path is image-batch-1"
+    # layout firewall: without it XLA's layout assignment propagates the
+    # packs' transposes back into the backbone's convolutions and the
+    # whole backbone slows ~3x (measured ~+15 ms/img; see
+    # ops.pallas_heads.layout_fence)
+    interp = interpret
+    dn_out = layout_fence(dn_out, interpret=interp)
+    skip16 = layout_fence(skip16, interpret=interp)
+    skip8 = layout_fence(skip8, interpret=interp)
     h1, w1 = dn_out.shape[1:3]
     geoms = {1: (h1, w1, wp_of(w1)),
              2: (2 * h1, 2 * w1, 2 * wp_of(w1)),
@@ -163,18 +177,23 @@ def mc_heads_pallas_cf(
     branch = br1
     for head, skip in ((2, skip16), (3, skip8)):
         ph, pw, pwp = geoms[head - 1]
-        z = fused_conv1x1_cf(branch, params[f"trans{head - 1}"]["w"],
-                             bn_of(f"trans{head - 1}"), zkeys, drop=False,
-                             h=ph, w_real=pw, wp=pwp, interpret=interpret)
-        up = upsample2x_flat_cf(z, ph, pwp)
+        up = fused_trans_upsample_cf(
+            branch, params[f"trans{head - 1}"]["w"],
+            bn_of(f"trans{head - 1}"), h=ph, w_real=pw, wp=pwp,
+            interpret=interpret)
         h, w, wp = geoms[head]
         skip_cf = pack_nhwc_to_flat_cf(skip, wp)
         s0 = 5 * (head - 1)
         kw = dict(h=h, w_real=w, wp=wp, interpret=interpret)
+        # pair01 carries the extra skip buffer + hoisted-product scratch:
+        # ht=4 keeps its scoped VMEM comfortably under the 16 MB limit
+        # (at ht=8 the 512-ch head-2 instance lands at 16.8 MB and Mosaic
+        # degrades pipelining to fit — measured 2.5x slower)
         y = fused_head_pair_cf(
             up, skip_cf, params[f"head{head}_conv0"]["w"],
             bn_of(f"head{head}_conv0"), params[f"head{head}_conv1"]["w"],
-            bn_of(f"head{head}_conv1"), _bkeys(keys, s0, s0 + 1), **kw)
+            bn_of(f"head{head}_conv1"), _bkeys(keys, s0, s0 + 1), ht=4,
+            **kw)
         y = fused_head_pair_cf(
             y, None, params[f"head{head}_conv2"]["w"],
             bn_of(f"head{head}_conv2"), params[f"head{head}_conv3"]["w"],

@@ -95,9 +95,20 @@ def _epilogue(acc, scale, bias, key, *, wp, w_real, h, row0):
 # ---------------------------------------------------------------------------
 
 
-def _c11_kernel(x, keys, w, s, b, out, *, wp, w_real, h, drop, ht):
-    j = pl.program_id(1)
-    acc = _mm(w[...], x[0])
+def _c11_kernel(x, keys, w, s, b, out, acc_s, *, wp, w_real, h, drop, ht,
+                hoist):
+    j = pl.program_id(0)
+    t = pl.program_id(1)
+    if hoist:
+        # shared input: the raw conv output is sample-invariant — compute
+        # it once per tile (t == 0), epilogue per sample (mask varies)
+        @pl.when(t == 0)
+        def _():
+            acc_s[...] = _mm(w[...], x[0])
+
+        acc = acc_s[...]
+    else:
+        acc = _mm(w[...], x[0])
     key = keys[0, 0, 0] if drop else None
     out[0] = _epilogue(acc, s[...], b[...], key,
                        wp=wp, w_real=w_real, h=h, row0=j * ht - PAD)
@@ -113,7 +124,10 @@ def fused_conv1x1_cf(x, w, bn, keys, *, h, w_real, wp, drop=True,
     x: (Tx, cin, (h+2*PAD)*wp) bf16 chain convention.  w: (1,1,cin,cout)
     HWIO.  bn: (scale, bias).  keys: (T, 2, 128) u32 (site key broadcast in
     [:, 0, :]; ignored when ``drop`` is False — pass zeros).  When Tx == 1
-    the input is shared across the T samples (e.g. the backbone output).
+    the input is shared across the T samples (e.g. the backbone output) and
+    — the grid being tile-major, samples minor — both the input block and
+    the raw conv result stay resident in VMEM across the T samples: the
+    matmul runs once per tile, only the mask epilogue runs per sample.
     Returns (T, cout, (h+2*PAD)*wp) bf16.
     """
     tx, cin, L = x.shape
@@ -124,24 +138,144 @@ def fused_conv1x1_cf(x, w, bn, keys, *, h, w_real, wp, drop=True,
     n_blk = (h + 2 * PAD) // ht
     w2 = jnp.transpose(w[0, 0], (1, 0)).astype(jnp.bfloat16)
     s, b = _bn_vec(bn)
-    xi = (lambda t, j: (t, 0, j)) if tx > 1 else (lambda t, j: (0, 0, j))
+    hoist = tx == 1 and t_total > 1
+    xi = (lambda j, t: (0, 0, j)) if tx == 1 else (lambda j, t: (t, 0, j))
     return pl.pallas_call(
         functools.partial(_c11_kernel, wp=wp, w_real=w_real, h=h, drop=drop,
-                          ht=ht),
-        grid=(t_total, n_blk),
+                          ht=ht, hoist=hoist),
+        grid=(n_blk, t_total),
         in_specs=[
             pl.BlockSpec((1, cin, ht * wp), xi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, 128), lambda t, j: (t, 0, 0),
+            pl.BlockSpec((1, 2, 128), lambda j, t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, cout, ht * wp), lambda t, j: (t, 0, j),
+        out_specs=pl.BlockSpec((1, cout, ht * wp), lambda j, t: (t, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_total, cout, L), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((cout, ht * wp), jnp.float32)],
         interpret=interpret,
     )(x, keys, w2, s, b)
+
+
+# ---------------------------------------------------------------------------
+# layout fence
+# ---------------------------------------------------------------------------
+
+
+def _fence_kernel(x, o):
+    o[...] = x[...]
+
+
+def layout_fence(x, interpret=False):
+    """Identity through a pallas_call — a LAYOUT firewall.
+
+    The head section consumes backbone activations through NHWC->CF
+    transposes (pack_nhwc_to_flat_cf).  Left alone, XLA's layout
+    assignment propagates those transposes backward and picks degenerate
+    conv layouts for the whole >=256-channel backbone ({3,0,2,1:T(1,128)}
+    with per-conv 31.5 MB f32 converts — measured ~+15 ms/img;
+    lax.optimization_barrier does NOT stop layout propagation).  A custom
+    call's operand layout constraint does.  Cost: one streamed copy.
+    """
+    n, h, w, c = x.shape
+    bh = 8 if h % 8 == 0 else 1
+    return pl.pallas_call(
+        _fence_kernel,
+        grid=(n, h // bh),
+        in_specs=[pl.BlockSpec((1, bh, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, bh, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x)
+
+
+# ---------------------------------------------------------------------------
+# scale transition: 1x1 conv + BN + leaky + 2x nearest upsample, one kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA reshape/broadcast upsample costs ~2.5 ms/transition at T=30 ECP
+# scale AND leaves the result in a layout the consuming pallas_call must
+# copy-normalize (~45 GB/s single-stream, another ~3.5 ms measured inside
+# the consumer's delta).  In-kernel, column duplication is one one-hot MXU
+# matmul against a block-diagonal expand matrix and row duplication is two
+# aligned stores per low-res row.
+
+
+def _trans_up_kernel(x, w, s, b, s4, out, *, wp, w_real, h, ht):
+    j = pl.program_id(1)
+    wp2 = 2 * wp
+    # output tile = hi-res image rows R .. R+ht-1, R = j*ht - PAD (even);
+    # input block = low-res rows R/2 .. R/2 + ht/2 - 1.  Pad-row tiles need
+    # no special casing: the epilogue's row mask zeroes them.
+    acc = _mm(w[...], x[0])
+    t = _epilogue(acc, s[...], b[...], None,
+                  wp=wp, w_real=w_real, h=h, row0=(j * ht - PAD) // 2)
+    # column-duplicate all ht/2 low-res rows at once: one block-diagonal
+    # one-hot matmul (exact: each output element is a single 1.0 product)
+    e = jax.lax.dot_general(
+        t, s4[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+    for q in range(ht // 2):
+        seg = e[:, q * wp2:(q + 1) * wp2]
+        out[0, :, (2 * q) * wp2:(2 * q + 1) * wp2] = seg
+        out[0, :, (2 * q + 1) * wp2:(2 * q + 2) * wp2] = seg
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w_real", "wp", "interpret")
+)
+def fused_trans_upsample_cf(x, w, bn, *, h, w_real, wp, interpret=False):
+    """Scale-transition conv (1x1 + BN + leaky, no dropout) + 2x nearest
+    upsample (reference layers.py:578-580, yolov3.py:585-593), flat CF.
+
+    x: (T, c1, (h+2*PAD)*wp) bf16 chain convention (low resolution).
+    Returns (T, c2, (2h+2*PAD)*(2*wp)) bf16 chain convention — the
+    upsample-half input of the next head's pair01 (dead cols >= 2*w_real
+    and pad rows zeroed by construction).
+    """
+    t_total, c1, _ = x.shape
+    c2 = w.shape[3]
+    ht = HT
+    assert h % ht == 0 and (2 * PAD) % ht == 0
+    assert (4 * wp) % 128 == 0 and wp & (wp - 1) == 0
+    w2 = jnp.transpose(w[0, 0], (1, 0)).astype(jnp.bfloat16)
+    s, b = _bn_vec(bn)
+    # block-diagonal column expander: rows ht/2 x wp, cols ht/2 x 2*wp;
+    # S4[q*wp + c, q*2*wp + 2c + b] = 1 for b in {0, 1}
+    import numpy as _np
+
+    s4 = _np.zeros(((ht // 2) * wp, (ht // 2) * 2 * wp), _np.float32)
+    q_ = _np.repeat(_np.arange(ht // 2), wp)
+    c_ = _np.tile(_np.arange(wp), ht // 2)
+    for bcol in (0, 1):
+        s4[q_ * wp + c_, q_ * 2 * wp + 2 * c_ + bcol] = 1.0
+    s4 = jnp.asarray(s4, jnp.bfloat16)
+    n_blk = (2 * h + 2 * PAD) // ht
+    return pl.pallas_call(
+        functools.partial(_trans_up_kernel, wp=wp, w_real=w_real, h=h,
+                          ht=ht),
+        grid=(t_total, n_blk),
+        in_specs=[
+            pl.BlockSpec((1, c1, (ht // 2) * wp),
+                         lambda t, j: (t, 0, j + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c2, ht * 2 * wp), lambda t, j: (t, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (t_total, c2, (2 * h + 2 * PAD) * 2 * wp), jnp.bfloat16),
+        interpret=interpret,
+    )(x, w2, s, b, s4)
 
 
 # ---------------------------------------------------------------------------
@@ -220,47 +354,58 @@ def _halo_dma(x_hbm, x_s, sem, i1, jj, wp, ht):
 
 
 def _c33_kernel(x_hbm, keys, w, s, b, wd, bd, *rest, wp, w_real, h, ht,
-                drop, det, shared_x):
+                drop, det, shared_x, t_total):
     if det:
         (out_det, x_s, patches, sems) = rest
     else:
         (out_y, x_s, patches, sems) = rest
-    t = pl.program_id(0)
-    j = pl.program_id(1)
+    j = pl.program_id(0)
+    t = pl.program_id(1)
     tp = ht * wp
     fi = PAD // ht               # first / last interior block
     li = fi + h // ht - 1
-    i1 = t if not shared_x else 0
     interior = (j >= fi) & (j <= li)
 
-    def dma(jj, slot):
-        return _halo_dma(x_hbm, x_s.at[slot], sems.at[slot], i1, jj, wp, ht)
+    def dma(tt, slot):
+        return _halo_dma(x_hbm, x_s.at[slot], sems.at[slot],
+                         0 if shared_x else tt, j, wp, ht)
 
-    @pl.when(j == fi)
-    def _():
-        dma(fi, fi % 2).start()
+    if shared_x:
+        # one fetch per tile, resident across all T samples
+        @pl.when(interior & (t == 0))
+        def _():
+            cp = dma(0, 0)
+            cp.start()
+            cp.wait()
+    else:
+        @pl.when(interior & (t == 0))
+        def _():
+            dma(0, 0).start()
 
-    @pl.when((j >= fi) & (j + 1 <= li))
-    def _():
-        dma(j + 1, (j + 1) % 2).start()
+        @pl.when(interior & (t + 1 <= t_total - 1))
+        def _():
+            dma(t + 1, (t + 1) % 2).start()
 
     @pl.when(jnp.logical_not(interior))
     def _():
         if det:
-            out_det[0] = jnp.zeros_like(out_det[0])
+            out_det[...] = jnp.zeros_like(out_det[...])
         else:
             out_y[0] = jnp.zeros_like(out_y[0])
 
     @pl.when(interior)
     def _():
-        dma(j, j % 2).wait()
-        xv = x_s[j % 2]
+        if shared_x:
+            xv = x_s[0]
+        else:
+            dma(t, t % 2).wait()
+            xv = x_s[t % 2]
         acc = _conv3x3_from_halo2(w, xv, wp, tp, patches)
         key = keys[0, 0, 0] if drop else None
         y = _epilogue(acc, s[...], b[...], key,
                       wp=wp, w_real=w_real, h=h, row0=j * ht - PAD)
         if det:
-            out_det[0] = _mm(wd[...], y) + bd[...]
+            out_det[...] = _mm(wd[...], y) + bd[...]
         else:
             out_y[0] = y
 
@@ -274,11 +419,13 @@ def fused_conv3x3_cf(x, w, bn, keys, *, h, w_real, wp, ht=HT, drop=True,
                      det_w=None, det_b=None, det_ch=None, interpret=False):
     """3x3 SAME conv + [dropout site] + BN + LeakyReLU, flat CF layout.
 
-    x: (Tx, cin, (h+2*PAD)*wp) bf16 chain convention (Tx == 1 -> shared).
-    w: (3,3,cin,cout) HWIO.  With ``det_w/det_b/det_ch`` the 1x1 linear
-    detection conv (layers.py:600-613) is fused on top and the kernel
-    emits ONLY the detection output (T, det_ch_pad, L) f32 — the conv
-    activation never reaches HBM.  Otherwise returns (T, cout, L) bf16.
+    x: (Tx, cin, (h+2*PAD)*wp) bf16 chain convention (Tx == 1 -> shared,
+    fetched once per tile and held across the T samples).  w: (3,3,cin,
+    cout) HWIO.  With ``det_w/det_b/det_ch`` the 1x1 linear detection conv
+    (layers.py:600-613) is fused on top and the kernel emits ONLY the
+    detection output, laid out (det_ch_pad, T*L) f32 — sample-major pixel
+    planes so the downstream (ch, T, hw) decoder view needs a slice but NO
+    transpose.  Otherwise returns (T, cout, L) bf16.
     """
     tx, cin, L = x.shape
     t_total = keys.shape[0]
@@ -296,22 +443,24 @@ def fused_conv3x3_cf(x, w, bn, keys, *, h, w_real, wp, ht=HT, drop=True,
             jnp.transpose(det_w[0, 0], (1, 0)).astype(jnp.bfloat16))
         bd = jnp.zeros((chp, 1), jnp.float32).at[:det_ch, 0].set(
             det_b.astype(jnp.float32))
-        out_shape = jax.ShapeDtypeStruct((t_total, chp, L), jnp.float32)
-        out_spec = pl.BlockSpec((1, chp, ht * wp), lambda t, j: (t, 0, j),
-                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((chp, t_total * L), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (chp, ht * wp), lambda j, t: (0, t * n_tiles + j),
+            memory_space=pltpu.VMEM)
     else:
         wd = jnp.zeros((8, cout), jnp.bfloat16)
         bd = jnp.zeros((8, 1), jnp.float32)
         out_shape = jax.ShapeDtypeStruct((t_total, cout, L), jnp.bfloat16)
-        out_spec = pl.BlockSpec((1, cout, ht * wp), lambda t, j: (t, 0, j),
+        out_spec = pl.BlockSpec((1, cout, ht * wp), lambda j, t: (t, 0, j),
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_c33_kernel, wp=wp, w_real=w_real, h=h, ht=ht,
-                          drop=drop, det=det, shared_x=tx == 1),
-        grid=(t_total, n_tiles),
+                          drop=drop, det=det, shared_x=tx == 1,
+                          t_total=t_total),
+        grid=(n_tiles, t_total),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 2, 128), lambda t, j: (t, 0, 0),
+            pl.BlockSpec((1, 2, 128), lambda j, t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=out_spec,
@@ -332,49 +481,52 @@ def fused_conv3x3_cf(x, w, bn, keys, *, h, w_real, wp, ht=HT, drop=True,
 
 def _pair_kernel(x1_hbm, x2_hbm, keys, wa1, wa2, sa, ba, wb, sb, bb, wd, bd,
                  *rest, wp, w_real, h, ht, drop_a, drop_b, det, branch,
-                 has_x2, shared_x1):
+                 has_x2, shared_x1, t_total):
     outs = rest[:1 + (det and branch)]
-    (x1_s, x2_s, patches, sems) = rest[len(outs):]
-    t = pl.program_id(0)
-    j = pl.program_id(1)
+    (x1_s, x2_s, acc2_s, patches, sems) = rest[len(outs):]
+    j = pl.program_id(0)
+    t = pl.program_id(1)
     tp = ht * wp
     fi = PAD // ht               # first / last interior block
     li = fi + h // ht - 1
     interior = (j >= fi) & (j <= li)
-    i1 = t if not shared_x1 else 0
 
-    def dma1(jj, slot):
-        return _halo_dma(x1_hbm, x1_s.at[slot], sems.at[slot, 0], i1, jj,
-                         wp, ht)
+    def dma1(tt, slot):
+        return _halo_dma(x1_hbm, x1_s.at[slot], sems.at[slot, 0],
+                         0 if shared_x1 else tt, j, wp, ht)
 
-    def dma2(jj, slot):
-        return _halo_dma(x2_hbm, x2_s.at[slot], sems.at[slot, 1], 0, jj,
-                         wp, ht)
+    def dma2():
+        return _halo_dma(x2_hbm, x2_s.at[0], sems.at[0, 1], 0, j, wp, ht)
 
-    @pl.when(j == fi)
+    @pl.when(interior & (t == 0))
     def _():
-        dma1(fi, fi % 2).start()
+        dma1(0, 0).start()
         if has_x2:
-            dma2(fi, fi % 2).start()
+            # x2 is SHARED: fetch once per tile, and hoist its 1x1 product
+            # into scratch — it is sample-invariant
+            cp = dma2()
+            cp.start()
+            cp.wait()
+            acc2_s[...] = _mm(wa2[...], x2_s[0])
 
-    @pl.when((j >= fi) & (j + 1 <= li))
+    @pl.when(interior & (t + 1 <= t_total - 1))
     def _():
-        dma1(j + 1, (j + 1) % 2).start()
-        if has_x2:
-            dma2(j + 1, (j + 1) % 2).start()
+        dma1(t + 1, (t + 1) % 2).start()
 
     @pl.when(jnp.logical_not(interior))
     def _():
         for o in outs:
-            o[0] = jnp.zeros_like(o[0])
+            if len(o.shape) == 2:   # det layout (chp, T*L)
+                o[...] = jnp.zeros_like(o[...])
+            else:
+                o[0] = jnp.zeros_like(o[0])
 
     @pl.when(interior)
     def _():
-        dma1(j, j % 2).wait()
-        acc = _mm(wa1[...], x1_s[j % 2])
+        dma1(t, t % 2).wait()
+        acc = _mm(wa1[...], x1_s[t % 2])
         if has_x2:
-            dma2(j, j % 2).wait()
-            acc = acc + _mm(wa2[...], x2_s[j % 2])
+            acc = acc + acc2_s[...]
         key_a = keys[0, 0, 0] if drop_a else None
         # the fetched extent covers rows R0-2 .. R0+ht+1 (see _halo_dma)
         tmid = _epilogue(acc, sa[...], ba[...], key_a,
@@ -384,7 +536,7 @@ def _pair_kernel(x1_hbm, x2_hbm, keys, wa1, wa2, sa, ba, wb, sb, bb, wd, bd,
         y = _epilogue(acc2, sb[...], bb[...], key_b,
                       wp=wp, w_real=w_real, h=h, row0=j * ht - PAD)
         if det:
-            outs[0][0] = _mm(wd[...], y) + bd[...]
+            outs[0][...] = _mm(wd[...], y) + bd[...]
             if branch:
                 # conv-a's activation, center rows R0 .. R0+ht-1
                 outs[1][0] = tmid[:, 2 * wp:2 * wp + tp]
@@ -437,21 +589,22 @@ def fused_head_pair_cf(x1, x2, wa, bna, wb, bnb, keys, *, h, w_real, wp,
             jnp.transpose(det_w[0, 0], (1, 0)).astype(jnp.bfloat16))
         bd = jnp.zeros((chp, 1), jnp.float32).at[:det_ch, 0].set(
             det_b.astype(jnp.float32))
-        out_shapes = [jax.ShapeDtypeStruct((t_total, chp, L), jnp.float32)]
-        out_specs = [pl.BlockSpec((1, chp, ht * wp), lambda t, j: (t, 0, j),
-                                  memory_space=pltpu.VMEM)]
+        out_shapes = [jax.ShapeDtypeStruct((chp, t_total * L), jnp.float32)]
+        out_specs = [pl.BlockSpec(
+            (chp, ht * wp), lambda j, t: (0, t * n_tiles + j),
+            memory_space=pltpu.VMEM)]
         if branch:
             out_shapes.append(
                 jax.ShapeDtypeStruct((t_total, cmid, L), jnp.bfloat16))
             out_specs.append(
-                pl.BlockSpec((1, cmid, ht * wp), lambda t, j: (t, 0, j),
+                pl.BlockSpec((1, cmid, ht * wp), lambda j, t: (t, 0, j),
                              memory_space=pltpu.VMEM))
     else:
         assert not branch
         wd = jnp.zeros((8, cb), jnp.bfloat16)
         bd = jnp.zeros((8, 1), jnp.float32)
         out_shapes = [jax.ShapeDtypeStruct((t_total, cb, L), jnp.bfloat16)]
-        out_specs = [pl.BlockSpec((1, cb, ht * wp), lambda t, j: (t, 0, j),
+        out_specs = [pl.BlockSpec((1, cb, ht * wp), lambda j, t: (t, 0, j),
                                   memory_space=pltpu.VMEM)]
     if not has_x2:
         x2 = jnp.zeros((1, 8, L), jnp.bfloat16)
@@ -459,19 +612,21 @@ def fused_head_pair_cf(x1, x2, wa, bna, wb, bnb, keys, *, h, w_real, wp,
         functools.partial(_pair_kernel, wp=wp, w_real=w_real, h=h, ht=ht,
                           drop_a=drop_a, drop_b=drop_b, det=det,
                           branch=det and branch, has_x2=has_x2,
-                          shared_x1=tx == 1),
-        grid=(t_total, n_tiles),
+                          shared_x1=tx == 1, t_total=t_total),
+        grid=(n_tiles, t_total),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 2, 128), lambda t, j: (t, 0, 0),
+            pl.BlockSpec((1, 2, 128), lambda j, t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((2, c1, (ht + 4) * wp), jnp.bfloat16),
-            pltpu.VMEM((2, c2, (ht + 4) * wp), jnp.bfloat16),
+            pltpu.VMEM((1, c2, (ht + 4) * wp), jnp.bfloat16),
+            pltpu.VMEM((cmid, (ht + 4) * wp) if has_x2 else (8, 128),
+                       jnp.float32),
             pltpu.VMEM(_patches_shape(wp, cmid, ht * wp), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

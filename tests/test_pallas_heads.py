@@ -133,10 +133,11 @@ def test_conv3x3_fused_det_matches_xla():
         xf, p["w"], _bn(p, s), jnp.zeros((1, 2, 128), jnp.uint32),
         h=h, w_real=w, wp=wp, ht=8, drop=False,
         det_w=det["w"], det_b=det["b"], det_ch=ch, interpret=True)
-    assert got.shape == (1, 16, (h + 2 * pc.PAD) * wp)  # ch padded to 16
-    got = got.reshape(1, 16, h + 2 * pc.PAD, wp)[:, :ch,
+    # det layout: (ch_pad, T*L), sample-major pixel planes
+    assert got.shape == (16, (h + 2 * pc.PAD) * wp)
+    got = got.reshape(16, 1, h + 2 * pc.PAD, wp)[:ch, :,
                                                  pc.PAD:pc.PAD + h, :w]
-    got = jnp.transpose(got, (0, 2, 3, 1))
+    got = jnp.transpose(got, (1, 2, 3, 0))
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), **TOL)
 
@@ -161,9 +162,9 @@ def test_head_pair_matches_conv_blocks():
         branch=True, interpret=True)
     got_br = pc.unpack_flat_cf_to_nhwc(got_br, h, w, wp)
     chp = 16
-    gd = got_det.reshape(T, chp, h + 2 * pc.PAD, wp)[:, :ch,
+    gd = got_det.reshape(chp, T, h + 2 * pc.PAD, wp)[:ch, :,
                                                      pc.PAD:pc.PAD + h, :w]
-    gd = jnp.transpose(gd, (0, 2, 3, 1))
+    gd = jnp.transpose(gd, (1, 2, 3, 0))
 
     for t in range(T):
         xin = jnp.concatenate([x1[t:t + 1], x2], axis=-1)
@@ -199,3 +200,27 @@ def test_mc_heads_driver_matches_xla_path():
     again = mc_forward_cf(params, stats, img, fused_heads=True, **kw)
     for (g, _), (a, _) in zip(got, again):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(a))
+
+
+def test_trans_upsample_matches_xla():
+    from bayesian_yolov3_tpu.ops.common import upsample2x
+
+    h, w, wp, c1, c2, T = 16, 30, 64, 32, 16, 2
+    r = np.random.default_rng(14)
+    x = jnp.asarray(r.normal(0, 1, (T, h, w, c1)), BF)
+    p, s = _params(15, 1, c1, c2)
+
+    xf = pc.pack_nhwc_to_flat_cf(x, wp)
+    got = ph.fused_trans_upsample_cf(xf, p["w"], _bn(p, s),
+                                     h=h, w_real=w, wp=wp, interpret=True)
+    flat = np.asarray(got, np.float32)
+    # chain invariant at the 2x geometry: pad rows and dead cols zeroed
+    g4 = flat.reshape(T, c2, 2 * h + 2 * pc.PAD, 2 * wp)
+    assert (g4[:, :, :pc.PAD] == 0).all() and (g4[:, :, -pc.PAD:] == 0).all()
+    assert (g4[:, :, :, 2 * w:] == 0).all()
+    got = pc.unpack_flat_cf_to_nhwc(got, 2 * h, 2 * w, 2 * wp)
+
+    want, _ = conv_block(p, s, x, compute_dtype=BF)
+    want = upsample2x(want)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), **TOL)
