@@ -89,6 +89,35 @@ def heads_pallas_ok(img_batch: int, h1: int, platform_ok: bool) -> bool:
     return platform_ok and img_batch == 1 and h1 % 8 == 0
 
 
+def _pick_st(T: int, *, c1: int, c2: int, cmid: int, cb: int, chp: int,
+             wp: int, ht: int, det: bool, branch: bool,
+             budget: int = 12 * 2 ** 20, cap: int = 8) -> int:
+    """Largest samples-per-step ``st`` (divisor of T, <= cap) whose pair-
+    kernel VMEM footprint — double-buffered (st, c1, halo) input scratch,
+    shared-x2 + hoisted-product scratch, patches, 3x3 weights, and the
+    (2*st)-buffered output blocks — fits the scoped budget (16 MB limit
+    minus slack for Mosaic temporaries)."""
+    halo = (ht + 4) * wp
+    tp = ht * wp
+    best = 1
+    for st in range(1, min(T, cap) + 1):
+        if T % st:
+            continue
+        b = 2 * st * c1 * halo * 2
+        b += c2 * halo * 2 + cmid * halo * 4     # x2 + hoisted 1x1 product
+        b += (3 * cmid * tp * 2) if wp % 128 == 0 else 0
+        b += 9 * cmid * cb * 2
+        if det:
+            b += 2 * chp * st * tp * 4
+            if branch:
+                b += 2 * st * cmid * tp * 2
+        else:
+            b += 2 * st * cb * tp * 2
+        if b <= budget:
+            best = st
+    return best
+
+
 def upsample2x_flat_cf(x, h: int, wp: int):
     """2x nearest upsample on the flat CF chain layout.
 
@@ -185,26 +214,41 @@ def mc_heads_pallas_cf(
         skip_cf = pack_nhwc_to_flat_cf(skip, wp)
         s0 = 5 * (head - 1)
         kw = dict(h=h, w_real=w, wp=wp, interpret=interpret)
-        # pair01 carries the extra skip buffer + hoisted-product scratch:
-        # ht=4 keeps its scoped VMEM comfortably under the 16 MB limit
-        # (at ht=8 the 512-ch head-2 instance lands at 16.8 MB and Mosaic
-        # degrades pipelining to fit — measured 2.5x slower)
+        # sample-blocking: these small-channel stages are grid-step-
+        # overhead-bound (see fused_head_pair_cf); each call gets the
+        # largest st its VMEM footprint allows.  pair01 carries the extra
+        # skip buffer + hoisted-product scratch, so it runs at ht=4 (at
+        # ht=8 the 512-ch head-2 instance exceeded scoped VMEM and Mosaic
+        # degraded pipelining to fit — measured 2.5x slower).
+        c1u = up.shape[1]
+        cmid = params[f"head{head}_conv0"]["w"].shape[3]
+        cb = params[f"head{head}_conv1"]["w"].shape[3]
+        chp = -(-head_ch // 8) * 8
+        skc = skip_cf.shape[1]
+        stk = dict(cmid=cmid, cb=cb, chp=chp, wp=wp)
+        st01 = _pick_st(T, c1=c1u, c2=skc, ht=4, det=False, branch=False,
+                        **stk)
+        st23 = _pick_st(T, c1=cb, c2=0, ht=4, det=False, branch=False,
+                        **stk)
+        st45 = _pick_st(T, c1=cb, c2=0, ht=4, det=True, branch=head == 2,
+                        **stk)
         y = fused_head_pair_cf(
             up, skip_cf, params[f"head{head}_conv0"]["w"],
             bn_of(f"head{head}_conv0"), params[f"head{head}_conv1"]["w"],
             bn_of(f"head{head}_conv1"), _bkeys(keys, s0, s0 + 1), ht=4,
-            **kw)
+            st=st01, **kw)
         y = fused_head_pair_cf(
             y, None, params[f"head{head}_conv2"]["w"],
             bn_of(f"head{head}_conv2"), params[f"head{head}_conv3"]["w"],
-            bn_of(f"head{head}_conv3"), _bkeys(keys, s0 + 2, s0 + 3), **kw)
+            bn_of(f"head{head}_conv3"), _bkeys(keys, s0 + 2, s0 + 3),
+            ht=4, st=st23, **kw)
         res = fused_head_pair_cf(
             y, None, params[f"head{head}_conv4"]["w"],
             bn_of(f"head{head}_conv4"), params[f"head{head}_conv5"]["w"],
             bn_of(f"head{head}_conv5"), _bkeys(keys, s0 + 4, None),
             drop_b=False, det_w=params[f"det{head}"]["w"],
             det_b=params[f"det{head}"]["b"], det_ch=head_ch,
-            branch=head == 2, **kw)
+            branch=head == 2, ht=4, st=st45, **kw)
         if head == 2:
             det, branch = res
         else:

@@ -356,7 +356,7 @@ def _halo_dma(x_hbm, x_s, sem, i1, jj, wp, ht):
 def _c33_kernel(x_hbm, keys, w, s, b, wd, bd, *rest, wp, w_real, h, ht,
                 drop, det, shared_x, t_total):
     if det:
-        (out_det, x_s, patches, sems) = rest
+        (out_det, det_s, det_sem, x_s, patches, sems) = rest
     else:
         (out_y, x_s, patches, sems) = rest
     j = pl.program_id(0)
@@ -389,7 +389,7 @@ def _c33_kernel(x_hbm, keys, w, s, b, wd, bd, *rest, wp, w_real, h, ht,
     @pl.when(jnp.logical_not(interior))
     def _():
         if det:
-            out_det[...] = jnp.zeros_like(out_det[...])
+            det_s[...] = jnp.zeros_like(det_s[...])
         else:
             out_y[0] = jnp.zeros_like(out_y[0])
 
@@ -405,9 +405,20 @@ def _c33_kernel(x_hbm, keys, w, s, b, wd, bd, *rest, wp, w_real, h, ht,
         y = _epilogue(acc, s[...], b[...], key,
                       wp=wp, w_real=w_real, h=h, row0=j * ht - PAD)
         if det:
-            out_det[...] = _mm(wd[...], y) + bd[...]
+            det_s[...] = _mm(wd[...], y) + bd[...]
         else:
             out_y[0] = y
+
+    if det:
+        # (chp, T*L) HBM det output via a manual lane-offset box copy
+        # (sample-major pixel planes; lane start = t*L + j*tp, phrased in
+        # 128-lane units so Mosaic can prove tiling divisibility)
+        L = ((h + 2 * PAD) // ht) * tp
+        start128 = t * (L // 128) + j * (tp // 128)
+        cp = pltpu.make_async_copy(
+            det_s, out_det.at[:, pl.ds(start128 * 128, tp)], det_sem)
+        cp.start()
+        cp.wait()
 
 
 @functools.partial(
@@ -444,15 +455,16 @@ def fused_conv3x3_cf(x, w, bn, keys, *, h, w_real, wp, ht=HT, drop=True,
         bd = jnp.zeros((chp, 1), jnp.float32).at[:det_ch, 0].set(
             det_b.astype(jnp.float32))
         out_shape = jax.ShapeDtypeStruct((chp, t_total * L), jnp.float32)
-        out_spec = pl.BlockSpec(
-            (chp, ht * wp), lambda j, t: (0, t * n_tiles + j),
-            memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        det_scratch = [pltpu.VMEM((chp, ht * wp), jnp.float32),
+                       pltpu.SemaphoreType.DMA]
     else:
         wd = jnp.zeros((8, cout), jnp.bfloat16)
         bd = jnp.zeros((8, 1), jnp.float32)
         out_shape = jax.ShapeDtypeStruct((t_total, cout, L), jnp.bfloat16)
         out_spec = pl.BlockSpec((1, cout, ht * wp), lambda j, t: (t, 0, j),
                                 memory_space=pltpu.VMEM)
+        det_scratch = []
     return pl.pallas_call(
         functools.partial(_c33_kernel, wp=wp, w_real=w_real, h=h, ht=ht,
                           drop=drop, det=det, shared_x=tx == 1,
@@ -465,7 +477,7 @@ def fused_conv3x3_cf(x, w, bn, keys, *, h, w_real, wp, ht=HT, drop=True,
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=out_spec,
         out_shape=out_shape,
-        scratch_shapes=[
+        scratch_shapes=det_scratch + [
             pltpu.VMEM((2, cin, (ht + 4) * wp), jnp.bfloat16),
             pltpu.VMEM(_patches_shape(wp, cin, ht * wp), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
@@ -479,26 +491,43 @@ def fused_conv3x3_cf(x, w, bn, keys, *, h, w_real, wp, ht=HT, drop=True,
 # ---------------------------------------------------------------------------
 
 
+def _halo_dma_s(x_hbm, x_s, sem, t0, st, jj, wp, ht):
+    """S-sample halo fetch: samples [t0, t0+st), rows R0-2 .. R0+ht+1."""
+    start128 = jj * ((ht * wp) // 128) - (2 * wp) // 128
+    return pltpu.make_async_copy(
+        x_hbm.at[pl.ds(t0, st), :, pl.ds(start128 * 128, (ht + 4) * wp)],
+        x_s, sem,
+    )
+
+
 def _pair_kernel(x1_hbm, x2_hbm, keys, wa1, wa2, sa, ba, wb, sb, bb, wd, bd,
                  *rest, wp, w_real, h, ht, drop_a, drop_b, det, branch,
-                 has_x2, shared_x1, t_total):
-    outs = rest[:1 + (det and branch)]
-    (x1_s, x2_s, acc2_s, patches, sems) = rest[len(outs):]
+                 has_x2, shared_x1, n_sblk, st):
+    if det:
+        out_det = rest[0]
+        outs = rest[1:1 + branch]
+        (det_s, det_sem, x1_s, x2_s, acc2_s, patches, sems) = (
+            rest[1 + branch:])
+    else:
+        out_det = None
+        outs = rest[:1]
+        (x1_s, x2_s, acc2_s, patches, sems) = rest[1:]
     j = pl.program_id(0)
-    t = pl.program_id(1)
+    ts = pl.program_id(1)        # sample-block index: samples ts*st ..
     tp = ht * wp
     fi = PAD // ht               # first / last interior block
     li = fi + h // ht - 1
     interior = (j >= fi) & (j <= li)
 
     def dma1(tt, slot):
-        return _halo_dma(x1_hbm, x1_s.at[slot], sems.at[slot, 0],
-                         0 if shared_x1 else tt, j, wp, ht)
+        return _halo_dma_s(x1_hbm, x1_s.at[slot], sems.at[slot, 0],
+                           0 if shared_x1 else tt * st,
+                           1 if shared_x1 else st, j, wp, ht)
 
     def dma2():
         return _halo_dma(x2_hbm, x2_s.at[0], sems.at[0, 1], 0, j, wp, ht)
 
-    @pl.when(interior & (t == 0))
+    @pl.when(interior & (ts == 0))
     def _():
         dma1(0, 0).start()
         if has_x2:
@@ -509,48 +538,65 @@ def _pair_kernel(x1_hbm, x2_hbm, keys, wa1, wa2, sa, ba, wb, sb, bb, wd, bd,
             cp.wait()
             acc2_s[...] = _mm(wa2[...], x2_s[0])
 
-    @pl.when(interior & (t + 1 <= t_total - 1))
+    @pl.when(interior & (ts + 1 <= n_sblk - 1))
     def _():
-        dma1(t + 1, (t + 1) % 2).start()
+        dma1(ts + 1, (ts + 1) % 2).start()
 
     @pl.when(jnp.logical_not(interior))
     def _():
+        if det:
+            det_s[...] = jnp.zeros_like(det_s[...])
         for o in outs:
-            if len(o.shape) == 2:   # det layout (chp, T*L)
-                o[...] = jnp.zeros_like(o[...])
-            else:
-                o[0] = jnp.zeros_like(o[0])
+            o[...] = jnp.zeros_like(o[...])
 
     @pl.when(interior)
     def _():
-        dma1(t, t % 2).wait()
-        acc = _mm(wa1[...], x1_s[t % 2])
-        if has_x2:
-            acc = acc + acc2_s[...]
-        key_a = keys[0, 0, 0] if drop_a else None
-        # the fetched extent covers rows R0-2 .. R0+ht+1 (see _halo_dma)
-        tmid = _epilogue(acc, sa[...], ba[...], key_a,
-                         wp=wp, w_real=w_real, h=h, row0=j * ht - PAD - 2)
-        acc2 = _conv3x3_from_halo2(wb, tmid, wp, tp, patches)
-        key_b = keys[0, 1, 0] if drop_b else None
-        y = _epilogue(acc2, sb[...], bb[...], key_b,
-                      wp=wp, w_real=w_real, h=h, row0=j * ht - PAD)
-        if det:
-            outs[0][...] = _mm(wd[...], y) + bd[...]
-            if branch:
-                # conv-a's activation, center rows R0 .. R0+ht-1
-                outs[1][0] = tmid[:, 2 * wp:2 * wp + tp]
-        else:
-            outs[0][0] = y
+        dma1(ts, ts % 2).wait()
+        for s in range(st):
+            acc = _mm(wa1[...], x1_s[ts % 2, 0 if shared_x1 else s])
+            if has_x2:
+                acc = acc + acc2_s[...]
+            key_a = keys[s, 0, 0] if drop_a else None
+            # the fetched extent covers rows R0-2 .. R0+ht+1 (_halo_dma_s)
+            tmid = _epilogue(acc, sa[...], ba[...], key_a,
+                             wp=wp, w_real=w_real, h=h,
+                             row0=j * ht - PAD - 2)
+            acc2 = _conv3x3_from_halo2(wb, tmid, wp, tp, patches)
+            key_b = keys[s, 1, 0] if drop_b else None
+            y = _epilogue(acc2, sb[...], bb[...], key_b,
+                          wp=wp, w_real=w_real, h=h, row0=j * ht - PAD)
+            if det:
+                det_s[s] = _mm(wd[...], y) + bd[...]
+                if branch:
+                    # conv-a's activation, center rows R0 .. R0+ht-1
+                    outs[0][s] = tmid[:, 2 * wp:2 * wp + tp]
+            else:
+                outs[0][s] = y
+
+    if det:
+        # (chp, T*L) HBM det output via manual lane-offset box copies —
+        # sample-major pixel planes (lane start = t*L + j*tp); one DMA per
+        # sample in the block, started together, waited together
+        L = ((h + 2 * PAD) // ht) * tp
+        cps = []
+        for s in range(st):
+            start128 = (ts * st + s) * (L // 128) + j * (tp // 128)
+            cps.append(pltpu.make_async_copy(
+                det_s.at[s], out_det.at[:, pl.ds(start128 * 128, tp)],
+                det_sem))
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w_real", "wp", "ht", "drop_a", "drop_b",
+    static_argnames=("h", "w_real", "wp", "ht", "st", "drop_a", "drop_b",
                      "det_ch", "branch", "interpret"),
 )
 def fused_head_pair_cf(x1, x2, wa, bna, wb, bnb, keys, *, h, w_real, wp,
-                       ht=HT, drop_a=True, drop_b=True, det_w=None,
+                       ht=HT, st=1, drop_a=True, drop_b=True, det_w=None,
                        det_b=None, det_ch=None, branch=False,
                        interpret=False):
     """Fused (1x1 reduce + 3x3 expand) head conv pair, flat CF layout.
@@ -562,9 +608,17 @@ def fused_head_pair_cf(x1, x2, wa, bna, wb, bnb, keys, *, h, w_real, wp,
     upsample-then-skip, yolov3.py:585-599).  wb: (3,3,cmid,cb).
 
     With ``det_*`` set, the 1x1 detection conv is fused on top (emits
-    (T, det_ch_pad, L) f32 instead of the 3x3 activation); ``branch=True``
+    (det_ch_pad, T*L) f32 instead of the 3x3 activation); ``branch=True``
     additionally emits conv-a's activation (T, cmid, L) bf16 (the scale-
     branch feeding the next head's transition conv, reference route [-3]).
+
+    ``st`` — samples per grid step.  The small-channel heads run hundreds
+    of tiny grid steps whose fixed cost (sequencer + DMA boundary, ~5 us)
+    dwarfs their ~2 us of MXU work; batching ``st`` samples behind ONE
+    halo fetch and ONE sequencer boundary amortizes it st-fold (measured:
+    head-2/3 pair sections 3-5x faster at st=6/3).  Choose st so the
+    (2, st, c1, (ht+4)*wp) input scratch plus (2*st)-buffered output
+    blocks stay inside the 16 MB scoped-VMEM budget.
     """
     tx, c1, L = x1.shape
     t_total = keys.shape[0]
@@ -575,7 +629,9 @@ def fused_head_pair_cf(x1, x2, wa, bna, wb, bnb, keys, *, h, w_real, wp,
     assert wa.shape[2] == c1 + (x2.shape[1] if has_x2 else 0)
     assert h % ht == 0 and PAD % ht == 0
     assert (ht * wp) % 128 == 0 and wp & (wp - 1) == 0
+    assert t_total % st == 0, (t_total, st)
     n_tiles = (h + 2 * PAD) // ht
+    n_sblk = t_total // st
     wa1 = jnp.transpose(wa[0, 0, :c1], (1, 0)).astype(jnp.bfloat16)
     wa2 = (jnp.transpose(wa[0, 0, c1:], (1, 0)).astype(jnp.bfloat16)
            if has_x2 else jnp.zeros((cmid, 8), jnp.bfloat16))
@@ -590,21 +646,19 @@ def fused_head_pair_cf(x1, x2, wa, bna, wb, bnb, keys, *, h, w_real, wp,
         bd = jnp.zeros((chp, 1), jnp.float32).at[:det_ch, 0].set(
             det_b.astype(jnp.float32))
         out_shapes = [jax.ShapeDtypeStruct((chp, t_total * L), jnp.float32)]
-        out_specs = [pl.BlockSpec(
-            (chp, ht * wp), lambda j, t: (0, t * n_tiles + j),
-            memory_space=pltpu.VMEM)]
+        out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
         if branch:
             out_shapes.append(
                 jax.ShapeDtypeStruct((t_total, cmid, L), jnp.bfloat16))
             out_specs.append(
-                pl.BlockSpec((1, cmid, ht * wp), lambda j, t: (t, 0, j),
+                pl.BlockSpec((st, cmid, ht * wp), lambda j, ts: (ts, 0, j),
                              memory_space=pltpu.VMEM))
     else:
         assert not branch
         wd = jnp.zeros((8, cb), jnp.bfloat16)
         bd = jnp.zeros((8, 1), jnp.float32)
         out_shapes = [jax.ShapeDtypeStruct((t_total, cb, L), jnp.bfloat16)]
-        out_specs = [pl.BlockSpec((1, cb, ht * wp), lambda j, t: (t, 0, j),
+        out_specs = [pl.BlockSpec((st, cb, ht * wp), lambda j, ts: (ts, 0, j),
                                   memory_space=pltpu.VMEM)]
     if not has_x2:
         x2 = jnp.zeros((1, 8, L), jnp.bfloat16)
@@ -612,18 +666,22 @@ def fused_head_pair_cf(x1, x2, wa, bna, wb, bnb, keys, *, h, w_real, wp,
         functools.partial(_pair_kernel, wp=wp, w_real=w_real, h=h, ht=ht,
                           drop_a=drop_a, drop_b=drop_b, det=det,
                           branch=det and branch, has_x2=has_x2,
-                          shared_x1=tx == 1, t_total=t_total),
-        grid=(n_tiles, t_total),
+                          shared_x1=tx == 1, n_sblk=n_sblk, st=st),
+        grid=(n_tiles, n_sblk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 2, 128), lambda j, t: (t, 0, 0),
+            pl.BlockSpec((st, 2, 128), lambda j, ts: (ts, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((2, c1, (ht + 4) * wp), jnp.bfloat16),
+        scratch_shapes=([
+            pltpu.VMEM((st, chp, ht * wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ] if det else []) + [
+            pltpu.VMEM((2, 1 if tx == 1 else st, c1, (ht + 4) * wp),
+                       jnp.bfloat16),
             pltpu.VMEM((1, c2, (ht + 4) * wp), jnp.bfloat16),
             pltpu.VMEM((cmid, (ht + 4) * wp) if has_x2 else (8, 128),
                        jnp.float32),

@@ -10,6 +10,7 @@ reduction-order noise — a mask mismatch at any position would show up as a
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from bayesian_yolov3_tpu.models import heads_pallas as hp
 from bayesian_yolov3_tpu.models.yolov3 import init_yolov3, mc_forward_cf
@@ -142,9 +143,11 @@ def test_conv3x3_fused_det_matches_xla():
                                np.asarray(want, np.float32), **TOL)
 
 
-def test_head_pair_matches_conv_blocks():
-    # skip-concat split matmul + two mask sites + fused det + branch
-    h, w, wp, c1, c2, cmid, cb, ch, T = 16, 30, 64, 32, 48, 32, 64, 9, 2
+@pytest.mark.parametrize("st", [1, 2])
+def test_head_pair_matches_conv_blocks(st):
+    # skip-concat split matmul + two mask sites + fused det + branch;
+    # st=2 exercises the sample-blocked grid (2 samples per step)
+    h, w, wp, c1, c2, cmid, cb, ch, T = 16, 30, 64, 32, 48, 32, 64, 9, 4
     r = np.random.default_rng(9)
     x1 = jnp.asarray(r.normal(0, 1, (T, h, w, c1)), BF)
     x2 = jnp.asarray(r.normal(0, 1, (1, h, w, c2)), BF)
@@ -158,8 +161,8 @@ def test_head_pair_matches_conv_blocks():
     x2f = pc.pack_nhwc_to_flat_cf(x2, wp)
     got_det, got_br = ph.fused_head_pair_cf(
         x1f, x2f, pa["w"], _bn(pa, sa), pb["w"], _bn(pb, sb), _keys(rngs),
-        h=h, w_real=w, wp=wp, det_w=det["w"], det_b=det["b"], det_ch=ch,
-        branch=True, interpret=True)
+        h=h, w_real=w, wp=wp, st=st, det_w=det["w"], det_b=det["b"],
+        det_ch=ch, branch=True, interpret=True)
     got_br = pc.unpack_flat_cf_to_nhwc(got_br, h, w, wp)
     chp = 16
     gd = got_det.reshape(chp, T, h + 2 * pc.PAD, wp)[:ch, :,
