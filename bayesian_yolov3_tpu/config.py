@@ -86,6 +86,12 @@ class Config:
     # --- TPU-native knobs (no reference counterpart) ----------------------
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype on TPU
     use_pallas: bool = True  # fused Pallas decode kernels (TPU backend only)
+    # host loader emits s2d channels-first u8 planes instead of NHWC
+    # images (data.pipeline.pack_planes_host): skips the measured
+    # XLA-irreducible ~4 ms/img on-device input relayout and cuts
+    # host->device transfer ~2.7x.  Inference runner only; requires the
+    # fused-kernel path (use_pallas, TPU, no sp/mc mesh).
+    packed_host_input: bool = False
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)
     max_boxes_per_img: int = 60  # static GT padding for the vectorized encoder
     # multi-host (DCN) bring-up (SURVEY §5.8): set coordinator_address to

@@ -331,18 +331,55 @@ class TrainLoader:
             self._prefetcher.close()
 
 
+_PACK_PAD = 8  # row pad of the flat channels-first chain (pallas_conv.PAD)
+
+
+def pack_planes_host(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 -> (16, (H/2 + 2*PAD) * wp) uint8 s2d CF planes.
+
+    The host-side twin of the device input pack
+    ``pack_nhwc_to_flat_cf(_space_to_depth(x), wp, c_pad=16)`` (same
+    channel order (pi*2+pj)*3 + c, same row/lane pads), in uint8 — the
+    device only casts and scales by 1/255.  WHY on the host: the
+    NHWC->channels-first relayout of a full-resolution image costs a
+    measured, XLA-irreducible ~4 ms/img on the TPU (BENCH_NOTES.md
+    round-3 dead-end log) but is a trivial strided copy on a multi-core
+    host loader thread; shipping u8 planes also cuts host->device
+    transfer ~2.7x vs f32 NHWC.
+    """
+    H, W, C = img.shape
+    assert C == 3 and H % 2 == 0 and W % 2 == 0
+    h2, w2 = H // 2, W // 2
+    wp = -(-w2 // 256) * 256
+    y = img.reshape(h2, 2, w2, 2, C).transpose(1, 3, 4, 0, 2)
+    y = np.ascontiguousarray(y).reshape(4 * C, h2, w2)
+    out = np.zeros((16, h2 + 2 * _PACK_PAD, wp), np.uint8)
+    out[:12, _PACK_PAD:_PACK_PAD + h2, :w2] = y
+    return out.reshape(16, -1)
+
+
 class TestLoader:
     """One-epoch, ordered (img, filename) batches (parity TestingDataset
-    :188-219)."""
+    :188-219).
 
-    def __init__(self, config: Config, batch_size: Optional[int] = None):
+    ``pack_planes=True``: each image is additionally emitted as s2d
+    channels-first u8 planes under the ``"packed"`` key
+    (``pack_planes_host``) — computed on the parser thread pool, for the
+    runner's packed-input device pipeline.
+    """
+
+    def __init__(self, config: Config, batch_size: Optional[int] = None,
+                 pack_planes: bool = False):
         self.config = config
         self.batch_size = batch_size or config.batch_size
+        self.pack_planes = pack_planes
 
     def batches(self) -> Iterator[Dict[str, np.ndarray]]:
         def parse(rec):
             parsed = parse_example(rec, self.config, with_filename=True)
             parsed.pop("bbox"), parsed.pop("label")
+            if self.pack_planes:
+                parsed["packed"] = pack_planes_host(parsed["image"])
             return parsed
 
         def gen():

@@ -175,6 +175,24 @@ class InferenceRunner:
     def _use_pallas_nms(self) -> bool:
         return self.config.use_pallas and jax.devices()[0].platform == "tpu"
 
+    def _packed_input(self) -> bool:
+        """Host-packed s2d CF u8 planes instead of NHWC images
+        (config.packed_host_input) — fused single-device paths only."""
+        if not self.config.packed_host_input:
+            return False
+        ok = (
+            self._use_fused_kernels()
+            and self.mesh is None
+            and self._mc_fused is None
+            and self.config.full_img_size[0] % 32 == 0
+        )
+        if not ok:
+            raise ValueError(
+                "packed_host_input requires the fused single-device "
+                "kernel path (use_pallas on TPU, no sp/mc mesh, H % 32 == 0)"
+            )
+        return True
+
     def exact_pipeline(self, params, stats, images, rng):
         """Exact-NMS (pre_top_k=0) instance of the device program.
 
@@ -199,8 +217,14 @@ class InferenceRunner:
         ``cert`` is the per-image exactness certificate of the pre-top-k
         NMS restriction (ops.nms); the host loop retries uncertified
         batches through an exact (pre_top_k=0) instance of this program.
+
+        With ``packed_host_input`` the ``images`` arg is the host-packed
+        u8 planes (N, 16, L); scaling happens inside the backbone.
         """
-        imgs = images.astype(jnp.float32) / 255.0
+        packed_hw = (tuple(self.config.full_img_size[:2])
+                     if self._packed_input() else None)
+        imgs = (images if packed_hw is not None
+                else images.astype(jnp.float32) / 255.0)
         cfg = self.config
         obj_idx = self.spec.obj_idx(self.epistemic)
         if self.sp_mesh is not None:
@@ -267,10 +291,10 @@ class InferenceRunner:
                 from ..models.yolov3 import mc_forward_cf
                 from ..ops.pallas_epistemic import fused_epistemic_decode_cf_batched
 
-                nb = imgs.shape[0]
+                nb = imgs.shape[0]  # packed planes are (N, 16, L) — same axis
                 outs = mc_forward_cf(
                     params, stats, imgs, spec=self.spec, T=cfg.T, rng=rng,
-                    compute_dtype=self.model._dtype,
+                    compute_dtype=self.model._dtype, packed_hw=packed_hw,
                 )
                 flat = jnp.concatenate(
                     [
@@ -312,7 +336,7 @@ class InferenceRunner:
             outs = forward_cf(
                 params, stats, imgs, spec=self.spec, rng=rng,
                 standard_test_dropout=self.config.standard_test_dropout,
-                compute_dtype=self.model._dtype,
+                compute_dtype=self.model._dtype, packed_hw=packed_hw,
             )
             flat = jnp.concatenate(
                 [
@@ -360,7 +384,9 @@ class InferenceRunner:
             batch_size = 1
         else:
             batch_size = cfg.batch_size
-        loader = pipeline.TestLoader(cfg, batch_size=batch_size)
+        packed = self._packed_input()
+        loader = pipeline.TestLoader(cfg, batch_size=batch_size,
+                                     pack_planes=packed)
         worker: Optional[threading.Thread] = None
         n = 0
         retried = 0
@@ -389,7 +415,7 @@ class InferenceRunner:
 
         for batch in loader.batches():
             bsz = batch["image"].shape[0]
-            images = batch["image"]
+            images = batch["packed"] if packed else batch["image"]
             if bsz < batch_size:  # pad final partial batch (static shapes)
                 pad = np.repeat(images[-1:], batch_size - bsz, axis=0)
                 images = np.concatenate([images, pad], axis=0)

@@ -153,7 +153,7 @@ def _fast_stem(params, stats, x, compute_dtype):
     return leaky_relu(h * scale + bias).astype(compute_dtype)
 
 
-def _fused_early_stages(params, stats, x, compute_dtype):
+def _fused_early_stages(params, stats, x, compute_dtype, packed_hw=None):
     """Convs 0-8 (s2d stem, res64, stride-2 64->128, res128 x2) via the
     fused channels-first Pallas kernels (ops.pallas_conv).
 
@@ -163,11 +163,20 @@ def _fused_early_stages(params, stats, x, compute_dtype):
     every intermediate in VMEM.  Inference / frozen-BN only (moving
     statistics), bf16 activations.  Returns the (N, H/4, W/4, 128)
     activation feeding the 256-channel stage, plus the next conv index.
+
+    ``packed_hw=(H, W)``: ``x`` is already the s2d channels-first uint8
+    planes (N, 16, (H/2+2*PAD)*wp) from the HOST loader
+    (data.pipeline.pack_planes_host) — the measured-irreducible ~4 ms
+    on-device input relayout (BENCH_NOTES.md) is skipped; the device
+    only casts u8 -> bf16 and scales by 1/255 on the already-CF layout.
     """
     from ..ops import pallas_conv as pc
 
     interpret = jax.default_backend() != "tpu"
-    n, H, W, _ = x.shape
+    if packed_hw is not None:
+        H, W = packed_hw
+    else:
+        n, H, W, _ = x.shape
     h2, w2 = H // 2, W // 2
     wp = -(-w2 // 256) * 256  # lane pad; wp/2 must stay a lane multiple
 
@@ -185,7 +194,11 @@ def _fused_early_stages(params, stats, x, compute_dtype):
         p, s = params[_conv_name(i)], stats[_conv_name(i)]
         return pc.fold_bn(p["gamma"], p["beta"], s["mean"], s["var"])
 
-    xf = pc.pack_nhwc_to_flat_cf(_space_to_depth(x), wp, c_pad=16)
+    if packed_hw is not None:
+        assert x.ndim == 3 and x.shape[1] == 16, x.shape
+        xf = x.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
+    else:
+        xf = pc.pack_nhwc_to_flat_cf(_space_to_depth(x), wp, c_pad=16)
     h = pc.fused_stem_cf(
         xf, k3, k2, bn1, bn_of(1), h=h2, w_real=w2, wp=wp,
         interpret=interpret,
@@ -235,6 +248,7 @@ def darknet53(
     compute_dtype=jnp.float32,
     fast_stem: bool = True,
     fused_early=None,
+    packed_hw=None,
 ):
     """Run the backbone.  Returns (out_s32, skip_s16, skip_s8, new_stats).
 
@@ -252,6 +266,10 @@ def darknet53(
     bf16 inference only; numerically equivalent up to bf16 reduction
     order.  Pass False under GSPMD spatial sharding (the kernels cannot
     be auto-partitioned; shard_map paths are fine — per-device shapes).
+
+    ``packed_hw=(H, W)``: ``x`` is HOST-packed s2d channels-first uint8
+    planes (data.pipeline.pack_planes_host) instead of an NHWC image;
+    implies the fused-early path (inference, bf16).
     """
     new_stats = {}
 
@@ -264,11 +282,15 @@ def darknet53(
         new_stats[name] = s
         return y
 
-    if fused_early is None:
+    if packed_hw is not None:
+        assert not training, "packed input is inference-only"
+        fused_early = True
+    elif fused_early is None:
         fused_early = _fused_early_ok(x, training, compute_dtype)
     skip8 = skip16 = None
     if fused_early:
-        h, i = _fused_early_stages(params, stats, x, compute_dtype)
+        h, i = _fused_early_stages(params, stats, x, compute_dtype,
+                                   packed_hw=packed_hw)
         for k in range(9):
             new_stats[_conv_name(k)] = stats[_conv_name(k)]
         remaining = list(_STAGES)[2:]

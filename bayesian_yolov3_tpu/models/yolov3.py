@@ -151,6 +151,7 @@ def forward(
     standard_test_dropout: bool = False,
     compute_dtype=jnp.float32,
     fused_early=None,
+    packed_hw=None,
 ):
     """Single forward pass.  Returns ((raw1, raw2, raw3), new_stats).
 
@@ -166,7 +167,7 @@ def forward(
     out32, skip16, skip8, bstats = darknet.darknet53(
         params["backbone"], stats["backbone"], imgs,
         training=backbone_training, compute_dtype=compute_dtype,
-        fused_early=fused_early,
+        fused_early=fused_early, packed_hw=packed_hw,
     )
     dropout_active = spec.mc_dropout and not standard_test_dropout
     raws, hstats = _heads(
@@ -189,6 +190,7 @@ def mc_forward(
     rng,
     compute_dtype=jnp.float32,
     fused_early=None,
+    packed_hw=None,
 ):
     """T-sample MC-dropout forward for epistemic inference (batch size 1).
 
@@ -202,7 +204,7 @@ def mc_forward(
     out32, skip16, skip8, _ = darknet.darknet53(
         params["backbone"], stats["backbone"], img,
         training=False, compute_dtype=compute_dtype,
-        fused_early=fused_early,
+        fused_early=fused_early, packed_hw=packed_hw,
     )
 
     def one_sample(key):
@@ -228,6 +230,7 @@ def mc_forward_cf(
     compute_dtype=jnp.float32,
     fused_early=None,
     fused_heads=None,
+    packed_hw=None,
 ):
     """T-sample MC forward emitting CHANNELS-FIRST raw heads.
 
@@ -251,7 +254,7 @@ def mc_forward_cf(
     out32, skip16, skip8, _ = darknet.darknet53(
         params["backbone"], stats["backbone"], img,
         training=False, compute_dtype=compute_dtype,
-        fused_early=fused_early,
+        fused_early=fused_early, packed_hw=packed_hw,
     )
 
     if fused_heads is None:
@@ -300,6 +303,7 @@ def forward_cf(
     standard_test_dropout: bool = False,
     compute_dtype=jnp.float32,
     fused_early=None,
+    packed_hw=None,
 ):
     """Batched inference forward emitting CHANNELS-FIRST raw heads.
 
@@ -313,7 +317,7 @@ def forward_cf(
     out32, skip16, skip8, _ = darknet.darknet53(
         params["backbone"], stats["backbone"], imgs,
         training=False, compute_dtype=compute_dtype,
-        fused_early=fused_early,
+        fused_early=fused_early, packed_hw=packed_hw,
     )
     dropout_active = spec.mc_dropout and not standard_test_dropout
     feats, _ = _heads(
@@ -365,12 +369,12 @@ class YoloV3:
         return init_yolov3(rng, self.spec)
 
     def forward(self, params, stats, imgs, *, training=False, rng=None,
-                standard_test_dropout=False):
+                standard_test_dropout=False, packed_hw=None):
         return forward(
             params, stats, imgs, spec=self.spec, training=training,
             freeze_backbone=self.freeze_darknet53, rng=rng,
             standard_test_dropout=standard_test_dropout,
-            compute_dtype=self._dtype,
+            compute_dtype=self._dtype, packed_hw=packed_hw,
         )
 
     def mc_forward(self, params, stats, img, *, T, rng):

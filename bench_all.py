@@ -66,7 +66,7 @@ def bench_epistemic():
     return {"img_per_sec": 1.0 / dt, "ms_per_img": dt * 1000}
 
 
-def bench_batched(model, nb):
+def bench_batched(model, nb, packed=False):
     import jax, jax.numpy as jnp
     from bayesian_yolov3_tpu.config import Config
     from bayesian_yolov3_tpu.core.priors import priors_as_array
@@ -78,11 +78,22 @@ def bench_batched(model, nb):
     m = YoloV3.from_config(cfg)
     pri = priors_as_array(m.priors)
     params, stats = m.init(jax.random.PRNGKey(0))
-    img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (nb, *FULL)), jnp.float32)
+    if packed:
+        # host-packed u8 planes feed (config.packed_host_input): the
+        # ~4 ms/img on-device input relayout moves to the host loader
+        from bayesian_yolov3_tpu.data.pipeline import pack_planes_host
+
+        img8 = np.random.default_rng(0).integers(
+            0, 256, (nb, *FULL), dtype=np.uint8)
+        img = jnp.asarray(np.stack([pack_planes_host(im) for im in img8]))
+    else:
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (nb, *FULL)), jnp.float32)
     obj_idx = m.spec.obj_idx(False)
 
     def fn(p, s, x):
-        outs = forward_cf(p, s, x, spec=m.spec, compute_dtype=m._dtype)
+        outs = forward_cf(p, s, x, spec=m.spec, compute_dtype=m._dtype,
+                          packed_hw=FULL[:2] if packed else None)
         flat = jnp.concatenate(
             [
                 fused_box_decode_cf(r, jnp.asarray(pri[st]), h=hw[0], w=hw[1],
@@ -304,6 +315,8 @@ def main():
     results = {"epistemic_T30_batch1": bench_epistemic()}
     results["aleatoric_batch11"] = bench_batched("aleatoric", 11)
     results["standard_batch11"] = bench_batched("standard", 11)
+    results["aleatoric_batch11_packed"] = bench_batched(
+        "aleatoric", 11, packed=True)
     results["train_step"] = bench_train()
     results["runner_aleatoric_batch11_e2e"] = bench_runner_aleatoric()
     results["train_from_tfrecords"] = bench_train_from_tfrecords()

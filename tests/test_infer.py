@@ -108,3 +108,16 @@ def test_ecp_format_standard_no_uncertainty_fields():
     assert d["score"] == pytest.approx(0.9 * 0.8)
     # the keys the reference writes (from wrong columns) — here correct
     assert d["layer_id"] == 1.0 and d["prior_id"] == 2.0
+
+
+def test_packed_host_input_guard(tmp_path, rng):
+    """packed_host_input demands the fused single-device TPU path; on CPU
+    (and any other ineligible configuration) the runner refuses loudly
+    instead of silently falling back to a different device program."""
+    cfg, _ = _trained_checkpoint(tmp_path, rng, "aleatoric")
+    cfg.packed_host_input = True
+    cfg.out_path = str(tmp_path / "out" / "packed")
+    os.makedirs(os.path.dirname(cfg.out_path), exist_ok=True)
+    runner = InferenceRunner(cfg)
+    with pytest.raises(ValueError, match="packed_host_input"):
+        runner.run()

@@ -144,3 +144,42 @@ def test_darknet_fused_early_matches_xla_backbone():
         np.testing.assert_allclose(
             np.asarray(g, np.float32), np.asarray(w_, np.float32),
             err_msg=name, **TOL)
+
+
+def test_pack_planes_host_matches_device_pack():
+    """The host u8 pack twin produces the device pack's layout exactly
+    (same channel order, pads, lane pitch) up to the u8->f32 scale."""
+    from bayesian_yolov3_tpu.data.pipeline import pack_planes_host
+
+    r = np.random.default_rng(11)
+    img8 = r.integers(0, 256, (64, 384, 3), dtype=np.uint8)
+    host = pack_planes_host(img8)  # (16, L) u8
+    w2 = 384 // 2
+    wp = -(-w2 // 256) * 256
+    dev = pc.pack_nhwc_to_flat_cf(
+        darknet._space_to_depth(
+            jnp.asarray(img8[None], jnp.float32) / 255.0),
+        wp, c_pad=16)
+    np.testing.assert_allclose(
+        host.astype(np.float32) / 255.0,
+        np.asarray(dev[0], np.float32), atol=3e-3)
+
+
+def test_darknet_packed_input_matches_image():
+    """darknet53 fed host-packed u8 planes == fed the NHWC image."""
+    from bayesian_yolov3_tpu.data.pipeline import pack_planes_host
+
+    params, stats = darknet.init_darknet53(jax.random.PRNGKey(1))
+    r = np.random.default_rng(12)
+    img8 = r.integers(0, 256, (64, 384, 3), dtype=np.uint8)
+    imgf = jnp.asarray(img8[None], jnp.float32) / 255.0
+    want = darknet.darknet53(params, stats, imgf, training=False,
+                             compute_dtype=BF, fused_early=True)
+    planes = jnp.asarray(pack_planes_host(img8)[None])  # (1, 16, L) u8
+    got = darknet.darknet53(params, stats, planes, training=False,
+                            compute_dtype=BF, packed_hw=(64, 384))
+    for g, w_, name in [(got[0], want[0], "out32"), (got[1], want[1],
+                        "skip16"), (got[2], want[2], "skip8")]:
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(w_, np.float32),
+            err_msg=name, **TOL)
