@@ -160,22 +160,31 @@ def encode_boxes(
     claims = best & cell_mask & valid[:, None]  # (M, N)
     ign_hit = (iou >= ign_thresh) & valid[:, None]
 
-    # later boxes overwrite earlier ones: winner = highest claiming index
+    # later boxes overwrite earlier ones: winner = highest claiming index.
+    # TPU note: winner-indexed gathers (take_along_axis / w[winner]) lower
+    # to per-element loops on TPU (see CLAUDE.md); instead the winner is a
+    # one-hot (M, N) selector — rank is unique among claimants, so
+    # rank == max picks exactly the highest claiming box — and every
+    # "gather" becomes a dense masked reduction XLA fuses into one pass.
     m = bboxes.shape[0]
     rank = (jnp.arange(m, dtype=jnp.int32) + 1)[:, None] * claims.astype(jnp.int32)
-    winner = jnp.argmax(rank, axis=0)  # (N,)
+    rank_max = jnp.max(rank, axis=0, keepdims=True)  # (1, N)
+    sel = (rank == rank_max) & (rank_max > 0)  # one-hot over M (all-zero if no claim)
     obj = jnp.any(claims, axis=0)
 
-    dx = jnp.take_along_axis(dist_x, winner[None, :], axis=0)[0]
-    dy = jnp.take_along_axis(dist_y, winner[None, :], axis=0)[0]
+    self_f = sel.astype(jnp.float32)
+    dx = jnp.sum(dist_x * self_f, axis=0)
+    dy = jnp.sum(dist_y * self_f, axis=0)
+    w_sel = jnp.sum(w[:, None] * self_f, axis=0)
+    h_sel = jnp.sum(h[:, None] * self_f, axis=0)
     tx = _logit(jnp.clip(dx, EPS, 1.0 - EPS))
     ty = _logit(jnp.clip(dy, EPS, 1.0 - EPS))
-    tw = jnp.log(jnp.maximum(w[winner] / pw, EPS))
-    th = jnp.log(jnp.maximum(h[winner] / ph, EPS))
+    tw = jnp.log(jnp.maximum(w_sel / pw, EPS))
+    th = jnp.log(jnp.maximum(h_sel / ph, EPS))
 
     objf = obj.astype(jnp.float32)
     loc = jnp.stack([tx, ty, tw, th], axis=1) * objf[:, None]
-    cls = jnp.where(obj, labels[winner], 0).astype(jnp.int32)
+    cls = jnp.sum(labels[:, None] * sel.astype(jnp.int32), axis=0)
     ign = 1.0 - jnp.any(ign_hit, axis=0).astype(jnp.float32)
     ign = jnp.maximum(ign, objf)  # tfdata.py:154
 
