@@ -92,6 +92,14 @@ class Config:
     # host->device transfer ~2.7x.  Inference runner only; requires the
     # fused-kernel path (use_pallas, TPU, no sp/mc mesh).
     packed_host_input: bool = False
+    # deterministic epistemic inference: reuse the SAME T dropout-mask sets
+    # (derived from this int seed) for every image — MC integration with T
+    # fixed posterior samples; same per-image statistics distribution,
+    # reproducible outputs (same image -> same uncertainties).  None = the
+    # reference behavior (fresh masks per image).  Applies to the fused
+    # single-device epistemic path (models.yolov3.mc_forward_cf); measured
+    # throughput-neutral (BENCH_NOTES.md).
+    fixed_mc_masks: Any = None
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)
     max_boxes_per_img: int = 60  # static GT padding for the vectorized encoder
     # multi-host (DCN) bring-up (SURVEY §5.8): set coordinator_address to

@@ -295,6 +295,7 @@ class InferenceRunner:
                 outs = mc_forward_cf(
                     params, stats, imgs, spec=self.spec, T=cfg.T, rng=rng,
                     compute_dtype=self.model._dtype, packed_hw=packed_hw,
+                    fixed_masks=cfg.fixed_mc_masks,
                 )
                 flat = jnp.concatenate(
                     [

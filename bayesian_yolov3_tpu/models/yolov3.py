@@ -82,6 +82,7 @@ def _heads(
     training: bool,
     dropout_active: bool,
     rng=None,
+    fixed_site_keys=None,
     compute_dtype=jnp.float32,
     return_features: bool = False,
 ):
@@ -92,12 +93,16 @@ def _heads(
     the transition convs and the final pre-detection conv are dropout-free,
     parity yolov3.py:543-622).
 
+    ``fixed_site_keys``: (15,) uint32 — one fixed dropout key per site in
+    traversal order, used instead of splitting ``rng`` (the fixed-MC-masks
+    fast path, see ``mc_forward_cf``).
+
     ``return_features=True`` returns the pre-detection-conv activations
     instead of detection outputs (the MC-sharded fast path applies the
     1x1 head as one channels-first contraction over all T samples).
     """
     new_stats = {}
-    if dropout_active:
+    if dropout_active and fixed_site_keys is None:
         assert rng is not None, "MC dropout requires an rng key"
         site_keys = jax.random.split(rng, 15)  # 5 dropout sites x 3 heads
     site = 0
@@ -105,14 +110,17 @@ def _heads(
     def run_block(name, x, drop):
         nonlocal site
         drop_rate = DROP_PROB if (drop and dropout_active) else None
-        key = None
+        key = key32 = None
         if drop_rate is not None:
-            key = site_keys[site]
+            if fixed_site_keys is not None:
+                key32 = fixed_site_keys[site]
+            else:
+                key = site_keys[site]
             site += 1
         y, s = conv_block(
             params[name], stats[name], x,
             training=training, drop_rate=drop_rate, rng=key,
-            compute_dtype=compute_dtype,
+            drop_key_u32=key32, compute_dtype=compute_dtype,
         )
         new_stats[name] = s
         return y
@@ -231,6 +239,7 @@ def mc_forward_cf(
     fused_early=None,
     fused_heads=None,
     packed_hw=None,
+    fixed_masks=None,
 ):
     """T-sample MC forward emitting CHANNELS-FIRST raw heads.
 
@@ -245,6 +254,19 @@ def mc_forward_cf(
     the batch folds onto the anchor axis, with per-image epistemic
     statistics computed downstream.  Dropout masks are drawn per
     (sample, image, position), so every image sees independent MC noise.
+
+    ``fixed_masks`` (int seed or None): reuse the SAME T dropout-mask sets
+    for every image — the per-(sample, site) hash keys become compile-time
+    constants derived from the seed, so the mask draw fuses into the conv
+    epilogues instead of costing a separate keyed full-tensor pass
+    (~8.7 ms/img at T=30, BENCH_NOTES.md).  Statistically this is MC
+    integration with T fixed posterior weight samples: per-image epistemic
+    statistics have the same distribution as fresh-mask sampling at the
+    same T; estimator noise is correlated ACROSS images instead of
+    independent.  It also makes epistemic inference deterministic (same
+    image -> same uncertainties).  ``rng`` is ignored when set.  The
+    reference has no counterpart (fresh masks per image,
+    inference_epistemic.py:49); default off.
 
     Returns [(raw_cf (ch, T, NB*h*w), (h, w)), ...].
     """
@@ -262,6 +284,9 @@ def mc_forward_cf(
         # (kernels are correct and 87-96% MFU; the XLA glue between them is
         # being fused — see ops/pallas_heads.py); flip via fused_heads=True
         fused_heads = False
+    if fused_heads and fixed_masks is not None:
+        raise ValueError("fixed_masks is not supported on the fused_heads "
+                         "kernel path (it draws its own per-sample keys)")
     if fused_heads:
         # fused Pallas head section: conv + dropout mask + BN + leaky in one
         # VMEM pass — bit-identical mask draws, bf16 reduction-order noise
@@ -274,16 +299,39 @@ def mc_forward_cf(
             interpret=jax.default_backend() != "tpu",
         )
 
-    def one_sample(key):
-        feats, _ = _heads(
-            params, stats, out32, skip16, skip8,
-            spec=spec, training=False, dropout_active=True, rng=key,
-            compute_dtype=compute_dtype, return_features=True,
-        )
-        return feats
+    if fixed_masks is not None:
+        # constant (T, 15) uint32 key table: one key per (sample, site).
+        # Philox gives independent high-quality streams from the int seed;
+        # the table is a LITERAL in the jaxpr, keeping the masks free of
+        # runtime dependence (the whole point — see docstring).
+        import numpy as np
 
-    keys = jax.random.split(rng, T)
-    feats = jax.vmap(one_sample)(keys)  # 3 x (T, NB, h, w, cfeat)
+        key_table = jnp.asarray(
+            np.random.Generator(np.random.Philox(int(fixed_masks)))
+            .integers(0, 2**32, size=(T, 15), dtype=np.uint32)
+        )
+
+        def one_sample_fixed(site_keys_u32):
+            feats, _ = _heads(
+                params, stats, out32, skip16, skip8,
+                spec=spec, training=False, dropout_active=True,
+                fixed_site_keys=site_keys_u32,
+                compute_dtype=compute_dtype, return_features=True,
+            )
+            return feats
+
+        feats = jax.vmap(one_sample_fixed)(key_table)
+    else:
+        def one_sample(key):
+            feats, _ = _heads(
+                params, stats, out32, skip16, skip8,
+                spec=spec, training=False, dropout_active=True, rng=key,
+                compute_dtype=compute_dtype, return_features=True,
+            )
+            return feats
+
+        keys = jax.random.split(rng, T)
+        feats = jax.vmap(one_sample)(keys)  # 3 x (T, NB, h, w, cfeat)
     out = []
     for head, f in enumerate(feats, start=1):
         raw_cf = detection_conv_cf(

@@ -101,7 +101,7 @@ def hash_keep(idx, key, thresh):
     return (h & jnp.uint32(0xFFFF)) < thresh
 
 
-def dropout(x, rate: float, rng, impl: str = "hash"):
+def dropout(x, rate: float, rng, impl: str = "hash", key_u32=None):
     """Inverted dropout (tf.layers.dropout semantics, layers.py:521-524).
 
     ``impl="hash"`` (default): the Bernoulli draw is a fused elementwise
@@ -119,18 +119,29 @@ def dropout(x, rate: float, rng, impl: str = "hash"):
     thresholded per element (kept for A/B measurement and as the
     conservative fallback).
 
+    ``key_u32``: bypass the PRNG draw and use this uint32 scalar as the
+    hash key directly (``rng`` is then ignored and may be None).  When the
+    scalar is a compile-time constant this removes the mask's dependence
+    on runtime state, letting XLA fuse the draw into the producing conv's
+    epilogue instead of a separate full-tensor pass — the fixed-MC-masks
+    fast path (see models.yolov3.mc_forward_cf ``fixed_masks``).
+
     Keep-prob quantization is <= 2**-16 either way (keep=0.9 becomes
     58982/65536 = 0.899994), far below the MC noise floor at any
     practical T.  Same (key, shape) -> same mask: reproducible.
     """
     keep = 1.0 - rate
     if impl == "bits":
+        assert key_u32 is None, "impl='bits' draws from the PRNG key"
         thresh = jnp.uint16(min(round(keep * 65536.0), 65535))
         bits = jax.random.bits(rng, x.shape, jnp.uint16)
         return jnp.where(bits < thresh, x / keep, jnp.zeros_like(x)).astype(x.dtype)
     assert impl == "hash", impl
     thresh = jnp.uint32(min(round(keep * 65536.0), 65535))
-    key = jax.random.bits(rng, (), jnp.uint32)  # one scalar draw per site
+    if key_u32 is None:
+        key = jax.random.bits(rng, (), jnp.uint32)  # one scalar draw per site
+    else:
+        key = jnp.asarray(key_u32, jnp.uint32)
     idx = jax.lax.iota(jnp.uint32, x.size).reshape(x.shape)
     return jnp.where(
         hash_keep(idx, key, thresh), x / keep, jnp.zeros_like(x)
@@ -153,12 +164,16 @@ def conv_block(
     training: bool = False,
     drop_rate: Optional[float] = None,
     rng=None,
+    drop_key_u32=None,
     compute_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, Dict]:
     """conv -> [dropout] -> batch_norm -> LeakyReLU(0.1).
 
     Ordering parity: dropout runs BEFORE batch norm (reference
     yolov3.py:524-528 normalizer list ['dropout', 'bn']; layers.py:557-574).
+
+    ``drop_key_u32``: fixed-mask dropout key (see ``dropout``); used in
+    place of ``rng``.
 
     Returns (activations, new_stats).  ``new_stats`` equals ``stats`` unless
     ``training`` is True, in which case BN moving statistics are advanced
@@ -167,8 +182,8 @@ def conv_block(
     y = conv2d(x.astype(compute_dtype), params["w"].astype(compute_dtype), stride=stride)
 
     if drop_rate is not None and drop_rate > 0.0:
-        assert rng is not None, "dropout requires an rng key"
-        y = dropout(y, drop_rate, rng)
+        assert rng is not None or drop_key_u32 is not None, "dropout requires a key"
+        y = dropout(y, drop_rate, rng, key_u32=drop_key_u32)
 
     y = y.astype(jnp.float32)  # normalize / batch stats in f32
     gamma, beta = params["gamma"], params["beta"]

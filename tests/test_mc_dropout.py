@@ -35,7 +35,7 @@ def test_exact_parity_with_injected_masks(monkeypatch):
 
     real_dropout = common.dropout
 
-    def keep_all_dropout(x, rate, rng):
+    def keep_all_dropout(x, rate, rng, **kw):
         # inject a fixed mask of ones: output = x / keep (inverted dropout)
         return x / (1.0 - rate)
 
@@ -148,3 +148,38 @@ def test_epistemic_variance_positive_and_vanishes_without_dropout():
     st2 = decode.decode_epistemic_stats(det2)
     epi2 = np.asarray(jnp.diagonal(st2["epi_covar_loc"], axis1=-2, axis2=-1))
     np.testing.assert_allclose(epi2, 0.0, atol=1e-5)
+
+
+def test_fixed_mc_masks_deterministic_and_statistically_sound():
+    """fixed_masks mode: (a) output is identical across different rng keys
+    (determinism is the feature's contract), (b) a different seed changes
+    the masks, (c) samples still differ from each other (real MC spread),
+    (d) per-site keep rate stays ~0.9."""
+    m = _model()
+    params, stats = m.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (1, *IMG)).astype(np.float32)
+    )
+
+    def run(seed, rng_seed):
+        outs = yolov3.mc_forward_cf(
+            params, stats, img, spec=m.spec, T=6,
+            rng=jax.random.PRNGKey(rng_seed), fixed_masks=seed,
+        )
+        return [np.asarray(r) for r, _ in outs]
+
+    a = run(0, 1)
+    b = run(0, 2)  # different rng — must not matter
+    c = run(7, 1)  # different seed — must matter
+    for ra, rb in zip(a, b):
+        np.testing.assert_array_equal(ra, rb)
+    assert any(np.abs(ra - rc).max() > 1e-6 for ra, rc in zip(a, c))
+    # samples differ within one forward (raw_cf layout: (ch, T, hw))
+    s = a[0]
+    assert np.abs(s[:, 0] - s[:, 1]).max() > 1e-6
+
+    # keep rate of the fixed-key hash masks at one site
+    x = jnp.ones((1 << 20,), jnp.float32)
+    kept = float(np.mean(np.asarray(
+        common.dropout(x, 0.1, None, key_u32=jnp.uint32(0xDEADBEEF))) != 0))
+    assert abs(kept - 0.9) < 0.002, kept
