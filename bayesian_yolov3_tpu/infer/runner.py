@@ -103,6 +103,13 @@ class InferenceRunner:
                     use_pallas_nms=True,
                     interpret=interpret,
                 )
+        if config.fixed_mc_masks is not None and (
+            self.mesh is not None or self.sp_mesh is not None
+        ):
+            raise ValueError(
+                "fixed_mc_masks applies to the single-device epistemic "
+                "paths; the sharded paths (sp/mc mesh) draw per-device keys"
+            )
         if self._mc_fused is not None:
             fused = self._mc_fused
 
@@ -320,7 +327,8 @@ class InferenceRunner:
                     with_certificate=True,
                 )
                 return rows, valid, cert
-            raws = self.model.mc_forward(params, stats, imgs, T=cfg.T, rng=rng)
+            raws = self.model.mc_forward(params, stats, imgs, T=cfg.T, rng=rng,
+                                         fixed_masks=cfg.fixed_mc_masks)
             decoded = self._decode_scales(raws, epistemic=True)
             flat = decode.concat_all_scales(decoded)
             rows, valid, _, cert = nms.nms_select(

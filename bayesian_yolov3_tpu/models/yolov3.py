@@ -188,6 +188,20 @@ def forward(
     return raws, new_stats
 
 
+def _fixed_key_table(seed, T: int):
+    """Constant (T, 15) uint32 dropout-key table for the fixed-MC-masks
+    mode: one key per (sample, site).  Philox gives independent
+    high-quality streams from the int seed; the table is a LITERAL in the
+    jaxpr, so the masks carry no runtime dependence and inference is
+    deterministic (see ``mc_forward_cf``)."""
+    import numpy as np
+
+    return jnp.asarray(
+        np.random.Generator(np.random.Philox(int(seed)))
+        .integers(0, 2**32, size=(T, 15), dtype=np.uint32)
+    )
+
+
 def mc_forward(
     params: Dict,
     stats: Dict,
@@ -199,6 +213,7 @@ def mc_forward(
     compute_dtype=jnp.float32,
     fused_early=None,
     packed_hw=None,
+    fixed_masks=None,
 ):
     """T-sample MC-dropout forward for epistemic inference (batch size 1).
 
@@ -206,6 +221,10 @@ def mc_forward(
     section is vmapped over T per-sample PRNG keys.  Returns three raw
     tensors of shape (T, h, w, ch) — the sample axis replaces the
     reference's batch-stacking (inference_epistemic.py:49, yolov3.py:538-541).
+
+    ``fixed_masks`` (int seed or None): deterministic mode — same constant
+    per-(sample, site) key table as ``mc_forward_cf`` (see its docstring),
+    so both paths draw bit-identical masks for the same seed and T.
     """
     assert spec.variant == Variant.BAYESIAN
     assert img.shape[0] == 1, "epistemic inference requires batch_size == 1"
@@ -214,6 +233,17 @@ def mc_forward(
         training=False, compute_dtype=compute_dtype,
         fused_early=fused_early, packed_hw=packed_hw,
     )
+
+    if fixed_masks is not None:
+        def one_sample_fixed(site_keys_u32):
+            raws, _ = _heads(
+                params, stats, out32, skip16, skip8,
+                spec=spec, training=False, dropout_active=True,
+                fixed_site_keys=site_keys_u32, compute_dtype=compute_dtype,
+            )
+            return tuple(r[0] for r in raws)
+
+        return jax.vmap(one_sample_fixed)(_fixed_key_table(fixed_masks, T))
 
     def one_sample(key):
         raws, _ = _heads(
@@ -300,16 +330,7 @@ def mc_forward_cf(
         )
 
     if fixed_masks is not None:
-        # constant (T, 15) uint32 key table: one key per (sample, site).
-        # Philox gives independent high-quality streams from the int seed;
-        # the table is a LITERAL in the jaxpr, keeping the masks free of
-        # runtime dependence (the whole point — see docstring).
-        import numpy as np
-
-        key_table = jnp.asarray(
-            np.random.Generator(np.random.Philox(int(fixed_masks)))
-            .integers(0, 2**32, size=(T, 15), dtype=np.uint32)
-        )
+        key_table = _fixed_key_table(fixed_masks, T)
 
         def one_sample_fixed(site_keys_u32):
             feats, _ = _heads(
@@ -425,9 +446,9 @@ class YoloV3:
             compute_dtype=self._dtype, packed_hw=packed_hw,
         )
 
-    def mc_forward(self, params, stats, img, *, T, rng):
+    def mc_forward(self, params, stats, img, *, T, rng, fixed_masks=None):
         return mc_forward(params, stats, img, spec=self.spec, T=T, rng=rng,
-                          compute_dtype=self._dtype)
+                          compute_dtype=self._dtype, fixed_masks=fixed_masks)
 
     def load_darknet53_weights(self, weightfile, params, stats):
         bp, bs = darknet.load_darknet53_weights(

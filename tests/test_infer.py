@@ -121,3 +121,32 @@ def test_packed_host_input_guard(tmp_path, rng):
     runner = InferenceRunner(cfg)
     with pytest.raises(ValueError, match="packed_host_input"):
         runner.run()
+
+
+def test_fixed_mc_masks_runner_deterministic(tmp_path, rng):
+    """fixed_mc_masks: two full runner passes (fresh runner objects, fresh
+    rng streams) over the same tfrecords produce byte-identical ECP JSON;
+    the sharded paths reject the flag instead of silently ignoring it."""
+    cfg, _ = _trained_checkpoint(tmp_path, rng, "bayesian")
+    cfg.inference_mode = True
+    cfg.T = 4
+    cfg.batch_size = 1
+    cfg.nms_max_boxes = 20
+    cfg.fixed_mc_masks = 3
+
+    def run_once(tag, seed):
+        cfg.out_path = str(tmp_path / "out" / tag)
+        os.makedirs(os.path.dirname(cfg.out_path), exist_ok=True)
+        out_dir = InferenceRunner(cfg, seed=seed).run()
+        files = sorted(glob.glob(os.path.join(out_dir, "*.json")))
+        return [open(f, "rb").read() for f in files]
+
+    a = run_once("fixed_a", seed=1)
+    b = run_once("fixed_b", seed=2)  # different rng seed must not matter
+    assert a and a == b
+
+    cfg.T = 8  # divides the mc axis (mesh must cover all 8 test devices)
+    cfg.mesh_shape = {"mc": 8}
+    cfg.out_path = str(tmp_path / "out" / "fixed_mc")
+    with pytest.raises(ValueError, match="fixed_mc_masks"):
+        InferenceRunner(cfg)

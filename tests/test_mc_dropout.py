@@ -183,3 +183,29 @@ def test_fixed_mc_masks_deterministic_and_statistically_sound():
     kept = float(np.mean(np.asarray(
         common.dropout(x, 0.1, None, key_u32=jnp.uint32(0xDEADBEEF))) != 0))
     assert abs(kept - 0.9) < 0.002, kept
+
+
+def test_fixed_mc_masks_paths_agree():
+    """mc_forward and mc_forward_cf share _fixed_key_table, so for the same
+    seed they draw bit-identical masks; outputs agree up to conv-layout
+    float noise (the two paths contract the 1x1 heads differently)."""
+    m = _model()
+    params, stats = m.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, (1, *IMG)).astype(np.float32)
+    )
+    T, seed = 4, 5
+
+    plain = yolov3.mc_forward(
+        params, stats, img, spec=m.spec, T=T,
+        rng=jax.random.PRNGKey(0), fixed_masks=seed,
+    )
+    cf = yolov3.mc_forward_cf(
+        params, stats, img, spec=m.spec, T=T,
+        rng=jax.random.PRNGKey(9), fixed_masks=seed,
+    )
+    for r, (raw_cf, (h, w)) in zip(plain, cf):
+        r = np.asarray(r)  # (T, h, w, ch)
+        want = r.transpose(3, 0, 1, 2).reshape(r.shape[3], T, h * w)
+        np.testing.assert_allclose(np.asarray(raw_cf), want,
+                                   rtol=1e-4, atol=1e-4)
