@@ -290,22 +290,38 @@ class ImageCropper:
         return out, bbox, valid
 
 
+def _hat_weights(src, n: int):
+    """(len(src), n) two-tap bilinear weight rows: relu(1 - |i - src|).
+
+    ``src`` is clamped to [0, n-1]; each row then holds exactly the clamped
+    two-tap weights of classic bilinear sampling — interior sources weight
+    rows floor(src)/floor(src)+1 with (1-frac, frac), out-of-range sources
+    collapse onto the boundary pixel with weight 1."""
+    src = jnp.clip(src, 0.0, float(n - 1))
+    idx = jnp.arange(n, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(idx[None, :] - src[:, None]))
+
+
 def _bilinear_window_resample(img, y0, x0, win_h, win_w, out_hw):
     """Sample an (out_h, out_w) grid bilinearly from window [y0:y0+win_h, ...].
 
-    Half-pixel-center sampling (align with jax.image/TF2 'linear')."""
+    Half-pixel-center sampling (align with jax.image/TF2 'linear').
+
+    TPU-first: the two-tap interpolation contracts the image against dense
+    hat-function weight matrices (one matmul per axis) instead of
+    fancy-index gathers — row/lane-dim gathers lower to per-element loops
+    on TPU (see CLAUDE.md), and under the vmapped train pipeline this runs
+    every step (lax.cond becomes select).  The weight rows reproduce the
+    clamped gather formulation's two-tap weights exactly (zero-weight terms
+    contribute exact f32 zeros), so outputs match to float-associativity."""
     oh, ow = out_hw
     h, w, c = img.shape
     sy = win_h.astype(jnp.float32) / oh
     sx = win_w.astype(jnp.float32) / ow
     yy = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * sy - 0.5 + y0
     xx = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * sx - 0.5 + x0
-    y0i = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 1)
-    x0i = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    fy = jnp.clip(yy - y0i, 0.0, 1.0)[:, None, None]
-    fx = jnp.clip(xx - x0i, 0.0, 1.0)[None, :, None]
-    top = img[y0i][:, x0i] * (1 - fx) + img[y0i][:, x1i] * fx
-    bot = img[y1i][:, x0i] * (1 - fx) + img[y1i][:, x1i] * fx
-    return top * (1 - fy) + bot * fy
+    wy = _hat_weights(yy, h)  # (oh, h)
+    wx = _hat_weights(xx, w)  # (ow, w)
+    # x-interp then y-interp, matching the gather formulation's order
+    tmp = jnp.einsum("Ww,hwc->hWc", wx, img, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("Hh,hWc->HWc", wy, tmp, precision=jax.lax.Precision.HIGHEST)

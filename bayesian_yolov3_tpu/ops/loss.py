@@ -44,9 +44,18 @@ def sigmoid_bce_with_logits(labels, logits):
 
 
 def sparse_softmax_ce_with_logits(labels, logits):
-    """tf.nn.sparse_softmax_cross_entropy_with_logits over the last axis."""
+    """tf.nn.sparse_softmax_cross_entropy_with_logits over the last axis.
+
+    TPU note: the label pick is a one-hot contraction, not
+    ``take_along_axis`` — per-element gathers lower to serialized loops on
+    TPU (CLAUDE.md), and this runs in every training step's loss.  One-hot
+    rows select exactly one term (zero terms contribute exact f32 zeros),
+    so values and gradients match the gather form at every in-range label;
+    out-of-range labels yield 0 instead of a clamped pick (both are masked
+    by ``gt['obj']`` in the caller)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    one_hot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+    return -jnp.sum(one_hot * logp, axis=-1)
 
 
 def detection_layer_loss(det: Dict, gt: Dict, aleatoric_loss: bool = False) -> Dict:

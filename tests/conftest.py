@@ -14,9 +14,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# On a 1-core host the 8 virtual-device threads reach each collective's
+# rendezvous far apart; XLA:CPU's default stuck-detector then LOG(FATAL)s
+# (Fatal Python error: Aborted) a healthy but slow run, killing the whole
+# pytest process.  __graft_entry__.dryrun_multichip sets the same flag, but
+# under pytest the backend is already initialized by the time it runs, so
+# the flag must be here — before the first backend init.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -130,3 +130,53 @@ def test_box_blur_matches_tf_conv(rng):
             axis=-1,
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def _resample_gather_oracle(img, y0, x0, win_h, win_w, out_hw):
+    """Numpy oracle: the classic clamped-gather bilinear formulation that the
+    shipped matmul form (augment._bilinear_window_resample) must reproduce."""
+    oh, ow = out_hw
+    h, w, _ = img.shape
+    yy = (np.arange(oh, dtype=np.float32) + 0.5) * (win_h / oh) - 0.5 + y0
+    xx = (np.arange(ow, dtype=np.float32) + 0.5) * (win_w / ow) - 0.5 + x0
+    y0i = np.clip(np.floor(yy).astype(np.int32), 0, h - 1)
+    x0i = np.clip(np.floor(xx).astype(np.int32), 0, w - 1)
+    y1i = np.clip(y0i + 1, 0, h - 1)
+    x1i = np.clip(x0i + 1, 0, w - 1)
+    fy = np.clip(yy - y0i, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xx - x0i, 0.0, 1.0)[None, :, None]
+    top = img[y0i][:, x0i] * (1 - fx) + img[y0i][:, x1i] * fx
+    bot = img[y1i][:, x0i] * (1 - fx) + img[y1i][:, x1i] * fx
+    return top * (1 - fy) + bot * fy
+
+
+@pytest.mark.parametrize(
+    "y0,x0,win_h,win_w",
+    [
+        (0, 0, 16, 24),       # identity-size window
+        (3, 5, 10, 14),       # shrink (upsample to output)
+        (1, 2, 15, 21),       # non-integer scale
+        (0, 0, 16, 24),
+        (6, 12, 8, 12),       # small window, large magnification
+    ],
+)
+def test_resample_matmul_matches_gather_oracle(rng, y0, x0, win_h, win_w):
+    img = _img(rng, 16, 24)
+    got = augment._bilinear_window_resample(
+        img, jnp.asarray(y0), jnp.asarray(x0),
+        jnp.asarray(win_h), jnp.asarray(win_w), (12, 18)
+    )
+    want = _resample_gather_oracle(
+        np.asarray(img), y0, x0, win_h, win_w, (12, 18)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_resample_window_beyond_edge_clamps(rng):
+    """A window extending past the image samples the boundary pixels."""
+    img = _img(rng, 8, 12)
+    out = augment._bilinear_window_resample(
+        img, jnp.asarray(6), jnp.asarray(10), jnp.asarray(8), jnp.asarray(8), (8, 8)
+    )
+    want = _resample_gather_oracle(np.asarray(img), 6, 10, 8, 8, (8, 8))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
