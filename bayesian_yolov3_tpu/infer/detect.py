@@ -18,7 +18,6 @@ import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
@@ -109,16 +108,9 @@ class Detector:
             img = center_crop(img, cfg.crop_img_size)
         images = (img[None] * 255).astype(np.uint8)
         key = jax.random.fold_in(jax.random.PRNGKey(1), hash(path) % (2**31))
-        images_d = jnp.asarray(images)
-        rows, valid, cert = self.runner._jit(
-            self.params, self.stats, images_d, key
-        )
-        if not np.asarray(cert).all():  # exact-NMS retry (see runner)
-            rows, valid, _ = self.runner.exact_pipeline(
-                self.params, self.stats, images_d, key
-            )
+        rows, valid = self.runner.predict(self.params, self.stats, images, key)
         boxes = filter_and_score(
-            np.asarray(rows)[0], np.asarray(valid)[0], self.runner.spec,
+            rows[0], valid[0], self.runner.spec,
             self.runner.epistemic, cfg.thresh, img.shape[:2],
         )
         return {"image": img, "boxes": boxes}

@@ -218,6 +218,38 @@ class InferenceRunner:
             ))
         return self._jit_exact_fn(params, stats, images, rng)
 
+    def device_batch_size(self) -> int:
+        """Largest image batch the compiled device program accepts.
+
+        The epistemic XLA fallback and the mc-sharded path keep the
+        reference's batch-1 contract (inference_epistemic.py:49 builds a
+        batch-1 graph); the fused anchor-folding path and all
+        non-epistemic paths are batched.
+        """
+        if self.epistemic and (
+            self.mesh is not None or not self._use_fused_kernels()
+        ):
+            return 1
+        return self.config.batch_size
+
+    def predict(self, params, stats, images, rng):
+        """uint8 NHWC image batch -> (rows, valid) numpy detections.
+
+        Public single-dispatch wrapper over the jitted device program,
+        with the exact-NMS certificate retry applied.  ``images`` must be
+        plain NHWC uint8 (the packed-planes feed is a ``run()``-loop
+        optimization); batch size must not exceed ``device_batch_size()``.
+        """
+        assert not self.config.packed_host_input, (
+            "predict() takes NHWC uint8 images; packed_host_input is a "
+            "run()-loop feed"
+        )
+        images_d = jnp.asarray(images)
+        rows, valid, cert = self._jit(params, stats, images_d, rng)
+        if not np.asarray(cert).all():
+            rows, valid, _ = self.exact_pipeline(params, stats, images_d, rng)
+        return np.asarray(rows), np.asarray(valid)
+
     def _device_pipeline(self, params, stats, images, rng, *, pre_top_k):
         """uint8 batch -> (rows, valid, cert) padded NMS selections.
 
@@ -389,10 +421,7 @@ class InferenceRunner:
         # epistemic batches > 1 need the fused anchor-folding path; the XLA
         # fallback and the mc-sharded path keep the reference's batch-1
         # contract
-        if self.epistemic and (self.mesh is not None or not self._use_fused_kernels()):
-            batch_size = 1
-        else:
-            batch_size = cfg.batch_size
+        batch_size = self.device_batch_size()
         packed = self._packed_input()
         loader = pipeline.TestLoader(cfg, batch_size=batch_size,
                                      pack_planes=packed)
