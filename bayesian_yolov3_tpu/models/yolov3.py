@@ -267,7 +267,6 @@ def mc_forward_cf(
     rng,
     compute_dtype=jnp.float32,
     fused_early=None,
-    fused_heads=None,
     packed_hw=None,
     fixed_masks=None,
 ):
@@ -309,26 +308,13 @@ def mc_forward_cf(
         fused_early=fused_early, packed_hw=packed_hw,
     )
 
-    if fused_heads is None:
-        # default OFF while the kernel path trails the XLA heads end to end
-        # (kernels are correct and 87-96% MFU; the XLA glue between them is
-        # being fused — see ops/pallas_heads.py); flip via fused_heads=True
-        fused_heads = False
-    if fused_heads and fixed_masks is not None:
-        raise ValueError("fixed_masks is not supported on the fused_heads "
-                         "kernel path (it draws its own per-sample keys)")
-    if fused_heads:
-        # fused Pallas head section: conv + dropout mask + BN + leaky in one
-        # VMEM pass — bit-identical mask draws, bf16 reduction-order noise
-        # only (models/heads_pallas.py)
-        from .heads_pallas import mc_heads_pallas_cf
-
-        return mc_heads_pallas_cf(
-            params, stats, out32, skip16, skip8, T=T, rng=rng,
-            head_ch=spec.head_channels_per_prior * 3,
-            interpret=jax.default_backend() != "tpu",
-        )
-
+    # NOTE: a fused Pallas head section (conv + dropout mask + BN + leaky in
+    # one VMEM pass) was built and measured in rounds 3-4 and DELETED: at
+    # best it tied the XLA heads (42.5 vs 40.2 ms; section MFUs 70-86%,
+    # h3 HBM-bound at ~1.7 GB/pair), so it never earned its 950 LoC.  The
+    # measurements live in BENCH_NOTES.md ("fused Pallas head section" dead
+    # end); the code is in git history (ops/pallas_heads.py,
+    # models/heads_pallas.py, removed round 4).
     if fixed_masks is not None:
         key_table = _fixed_key_table(fixed_masks, T)
 

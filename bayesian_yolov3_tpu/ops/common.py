@@ -89,9 +89,9 @@ def hash_keep(idx, key, thresh):
     functions, not index permutations (test_mc_dropout.py key-translate
     test).
 
-    Single source of truth: used by ``dropout`` (the XLA path) and by the
-    fused head kernels (ops/pallas_heads.py), which evaluate it in-register
-    — the two paths draw bit-identical masks.
+    Single source of truth for every mask draw (``dropout`` and the
+    fixed-mask key tables) — any kernel that re-evaluates it in-register
+    draws bit-identical masks.
     """
     h = idx ^ key
     h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
