@@ -113,9 +113,7 @@ def make_train_step(
         total, metrics = loss_ops.total_loss(dets, gts, params, aleatoric)
         return total, (metrics, new_stats)
 
-    def train_step(state, batch, rng):
-        kp, kd = jax.random.split(jax.random.fold_in(rng, state["step"]))
-        imgs, gts = preprocess_train(batch, kp)
+    def _apply(state, imgs, gts, kd):
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
             state["params"], state["frozen"], state["stats"], imgs, gts, kd
         )
@@ -128,6 +126,39 @@ def make_train_step(
             "opt": opt,
             "step": state["step"] + 1,
         }, metrics
+
+    def train_step(state, batch, rng):
+        kp, kd = jax.random.split(jax.random.fold_in(rng, state["step"]))
+        imgs, gts = preprocess_train(batch, kp)
+        return _apply(state, imgs, gts, kd)
+
+    # -- split-program twins (round-4: overlap preprocess with compute) --
+    # The fused train_step serializes ~1/3 of the step into preprocess
+    # (BENCH_NOTES round-3 attribution: 31.6 preprocess / 31.8 fwd+loss /
+    # 11.8 bwd).  preprocess(batch i+1) is independent of step i, so the
+    # Trainer dispatches it as its OWN program right after dispatching
+    # step i: the host's batch transfer + dispatch overlap the in-flight
+    # step, and the queued programs run back to back on device.  Key
+    # derivation is IDENTICAL to the fused step (same fold_in(rng, step)
+    # split), so GT tensors and metrics are unchanged — asserted by
+    # tests/test_train.py::test_split_train_step_matches_fused.
+
+    def preprocess_step(batch, rng, step):
+        """The fused step's preprocess half, as its own program.
+
+        ``step`` must equal the ``state['step']`` of the train step that
+        will consume the output (the host loop knows it without a device
+        fetch)."""
+        kp, _ = jax.random.split(jax.random.fold_in(rng, step))
+        return preprocess_train(batch, kp)
+
+    def apply_step(state, imgs, gts, rng):
+        """The fused step's gradient half: consumes preprocess_step output."""
+        _, kd = jax.random.split(jax.random.fold_in(rng, state["step"]))
+        return _apply(state, imgs, gts, kd)
+
+    train_step.preprocess = preprocess_step
+    train_step.apply = apply_step
 
     def eval_step(state, batch, rng):
         kp, kd = jax.random.split(jax.random.fold_in(rng, state["step"]))
@@ -185,6 +216,13 @@ class Trainer:
             self.mesh = mesh_lib.make_mesh({"data": ndev})
         self._jit_train = jax.jit(self.train_step_fn, donate_argnums=(0,))
         self._jit_eval = jax.jit(self.eval_step_fn)
+        # split-program hot loop: preprocess(batch i+1) is dispatched while
+        # step i executes (see make_train_step.preprocess)
+        self._jit_pre = jax.jit(self.train_step_fn.preprocess)
+        # donate state only: imgs/gts shapes never alias the outputs, so
+        # donating them just triggers the unusable-donation warning
+        self._jit_apply = jax.jit(self.train_step_fn.apply,
+                                  donate_argnums=(0,))
 
     # -- state ----------------------------------------------------------
 
@@ -272,14 +310,20 @@ class Trainer:
             return False
 
         try:
-            # one batch prefetched to device ahead of its step (the loader
-            # repeats forever, so the extra pull past train_steps is fine)
-            pending = self._place_batch(next(train_it))
+            # one batch prefetched to device AND preprocessed ahead of its
+            # step (the loader repeats forever, so the extra pull past
+            # train_steps is fine).  The preprocess program for step i+1 is
+            # dispatched immediately after step i: its transfer + dispatch
+            # overlap the in-flight step and the two queued programs run
+            # back to back on device — the fused step serialized them.
+            pending = self._jit_pre(self._place_batch(next(train_it)), key,
+                                    np.int32(step))
             while step < cfg.train_steps:
                 step += 1
                 timer.tick()
-                state, metrics = self._jit_train(state, pending, key)
-                pending = self._place_batch(next(train_it))
+                state, metrics = self._jit_apply(state, *pending, key)
+                pending = self._jit_pre(self._place_batch(next(train_it)),
+                                        key, np.int32(step))
                 inflight.append((step, metrics))
                 if len(inflight) >= 2 and drain_one():
                     break

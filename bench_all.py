@@ -34,13 +34,16 @@ def _pipe_time(dispatch, iters=8, depth=2):
     return (time.time() - t0) / iters
 
 
-def bench_epistemic(packed=False):
+def bench_epistemic(packed=False, nb=1):
     import jax, jax.numpy as jnp
     from bayesian_yolov3_tpu.config import Config
     from bayesian_yolov3_tpu.core.priors import priors_as_array
     from bayesian_yolov3_tpu.models.yolov3 import YoloV3, mc_forward_cf
     from bayesian_yolov3_tpu.ops import decode, nms
-    from bayesian_yolov3_tpu.ops.pallas_epistemic import fused_epistemic_decode_cf
+    from bayesian_yolov3_tpu.ops.pallas_epistemic import (
+        fused_epistemic_decode_cf,
+        fused_epistemic_decode_cf_batched,
+    )
 
     cfg = Config(model="bayesian", full_img_size=FULL, T=30, inference_mode=True)
     m = YoloV3.from_config(cfg)
@@ -51,28 +54,47 @@ def bench_epistemic(packed=False):
         # ~4 ms/img on-device input relayout moves to the host loader
         from bayesian_yolov3_tpu.data.pipeline import pack_planes_host
 
-        img8 = np.random.default_rng(0).integers(0, 256, FULL, dtype=np.uint8)
-        img = jnp.asarray(pack_planes_host(img8)[None])
+        img8 = np.random.default_rng(0).integers(
+            0, 256, (nb, *FULL), dtype=np.uint8)
+        img = jnp.asarray(np.stack([pack_planes_host(im) for im in img8]))
     else:
-        img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, *FULL)), jnp.float32)
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (nb, *FULL)), jnp.float32)
 
     def fn(p, s, x, k):
         outs = mc_forward_cf(p, s, x, spec=m.spec, T=30, rng=k, compute_dtype=m._dtype,
                              packed_hw=FULL[:2] if packed else None)
-        decoded = [
-            fused_epistemic_decode_cf(r, jnp.asarray(pri[st]), h=hw[0], w=hw[1],
-                                      cls_cnt=2, layer_id=i)
-            for i, ((r, hw), st) in enumerate(zip(outs, (32, 16, 8)))
-        ]
-        flat = decode.concat_all_scales(decoded)
-        return nms.nms_select(flat, 14, 1000, 0.5, pre_top_k=8192, use_pallas=True)[2]
+        if nb == 1:
+            decoded = [
+                fused_epistemic_decode_cf(r, jnp.asarray(pri[st]), h=hw[0], w=hw[1],
+                                          cls_cnt=2, layer_id=i)
+                for i, ((r, hw), st) in enumerate(zip(outs, (32, 16, 8)))
+            ]
+            flat = decode.concat_all_scales(decoded)
+            return nms.nms_select(flat, 14, 1000, 0.5, pre_top_k=8192,
+                                  use_pallas=True)[2]
+        # image batch > 1: the runner's anchor-folding epistemic path
+        # (VERDICT r3 #8 — measure whether batching beats the batch-1
+        # headline config or confirms batch 1 saturates the chip)
+        flat = jnp.concatenate(
+            [
+                fused_epistemic_decode_cf_batched(
+                    r, jnp.asarray(pri[st]), n_imgs=nb, h=hw[0], w=hw[1],
+                    cls_cnt=2, layer_id=i)
+                for i, ((r, hw), st) in enumerate(zip(outs, (32, 16, 8)))
+            ],
+            axis=1,
+        )
+        return jnp.sum(nms.nms_select_batch(
+            flat, 14, 1000, 0.5, pre_top_k=8192, use_pallas=True)[2])
 
     j = jax.jit(fn)
     key = jax.random.key(1, impl="rbg")
     for i in range(3):
         int(j(params, stats, img, jax.random.fold_in(key, i)))
-    dt = _pipe_time(lambda i: j(params, stats, img, jax.random.fold_in(key, 100 + i)))
-    return {"img_per_sec": 1.0 / dt, "ms_per_img": dt * 1000}
+    dt = _pipe_time(lambda i: j(params, stats, img, jax.random.fold_in(key, 100 + i)),
+                    iters=8 if nb == 1 else 5)
+    return {"img_per_sec": nb / dt, "ms_per_img": dt * 1000 / nb, "batch": nb}
 
 
 def bench_batched(model, nb, packed=False):
@@ -143,18 +165,32 @@ def bench_train():
         "label": jnp.ones((8, 60), jnp.int32),
         "valid": jnp.ones((8, 60), bool),
     }
-    j = jax.jit(step_fn, donate_argnums=(0,))
+    # the production Trainer's split-program hot loop (round 4): the
+    # preprocess program for step i+1 is dispatched while step i executes,
+    # and metrics are fetched one step behind (train/loop.py run()) — the
+    # old fused-step sync-fetch pattern serialized a ~27 ms tunnel sync
+    # plus the preprocess segment into every measured step
+    j_pre = jax.jit(step_fn.preprocess)
+    j_apply = jax.jit(step_fn.apply, donate_argnums=(0,))
     key = jax.random.key(0, impl="rbg")
-    state, metrics = j(state, batch, key)
+    pending = j_pre(batch, key, np.int32(0))
+    state, metrics = j_apply(state, *pending, key)
     float(metrics["total"])
     t0 = time.time()
-    iters = 8
-    for _ in range(iters):
-        state, metrics = j(state, batch, key)
-        float(metrics["total"])
+    iters = 12
+    pending = j_pre(batch, key, np.int32(1))
+    last = None
+    for i in range(iters):
+        state, metrics = j_apply(state, *pending, key)
+        pending = j_pre(batch, key, np.int32(i + 2))
+        if last is not None:
+            float(last["total"])
+        last = metrics
+    float(last["total"])
     dt = (time.time() - t0) / iters
     return {"ms_per_step": dt * 1000, "img_per_sec": 8 / dt,
-            "config": "aleatoric crop 768x1440 batch 8 frozen backbone"}
+            "config": "aleatoric crop 768x1440 batch 8 frozen backbone, "
+                      "split preprocess/apply programs, drain-1 fetch"}
 
 
 def _write_ecp_res_dataset(path, n_images, img_hw=(1024, 1920)):
@@ -323,6 +359,7 @@ def bench_nms_full_anchor():
 def main():
     results = {"epistemic_T30_batch1": bench_epistemic()}
     results["epistemic_T30_batch1_packed"] = bench_epistemic(packed=True)
+    results["epistemic_T30_batch2"] = bench_epistemic(packed=True, nb=2)
     results["aleatoric_batch11"] = bench_batched("aleatoric", 11)
     results["standard_batch11"] = bench_batched("standard", 11)
     results["aleatoric_batch11_packed"] = bench_batched(

@@ -83,6 +83,41 @@ def test_frozen_backbone_params_unchanged(tmp_data, rng):
     assert not np.allclose(h0, h1)
 
 
+def test_split_train_step_matches_fused(tmp_data, rng):
+    """The split-program hot loop (preprocess dispatched separately so
+    batch i+1's preprocess overlaps step i — round-4) reproduces the fused
+    train_step exactly: identical key derivation, identical GT tensors,
+    identical params/metrics trajectory."""
+    cfg = _config(tmp_data, rng, model="bayesian", train_steps=3)
+    trainer = train_loop.Trainer(cfg, seed=0)
+    batch = trainer._place_batch(
+        {
+            "image": (rng.uniform(0, 255, (2, *IMG))).astype(np.uint8),
+            "bbox": np.asarray([[[0.1, 0.1, 0.5, 0.4]] * 8] * 2, np.float32),
+            "label": np.ones((2, 8), np.int32),
+            "valid": np.ones((2, 8), bool),
+        }
+    )
+    key = jax.random.PRNGKey(3)
+
+    fused = trainer.fresh_state()
+    split = jax.tree.map(jnp.copy, fused)
+    for i in range(3):
+        fused, mf = trainer._jit_train(fused, batch, key)
+        # the preprocess program's GT must be bitwise what the fused step
+        # computed internally — same fold_in(rng, step) derivation
+        imgs, gts = trainer._jit_pre(batch, key, np.int32(i))
+        split, ms = trainer._jit_apply(split, imgs, gts, key)
+        np.testing.assert_array_equal(
+            np.asarray(mf["total"]), np.asarray(ms["total"]), f"step {i}")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        fused["params"], split["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        fused["stats"], split["stats"])
+
+
 def test_nan_guard_aborts_and_saves(tmp_data, rng, monkeypatch):
     cfg = _config(tmp_data, rng, train_steps=50)
     trainer = train_loop.Trainer(cfg, seed=0)
