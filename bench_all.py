@@ -356,23 +356,44 @@ def bench_nms_full_anchor():
     return out
 
 
-def main():
-    results = {"epistemic_T30_batch1": bench_epistemic()}
-    results["epistemic_T30_batch1_packed"] = bench_epistemic(packed=True)
-    results["epistemic_T30_batch2"] = bench_epistemic(packed=True, nb=2)
-    results["aleatoric_batch11"] = bench_batched("aleatoric", 11)
-    results["standard_batch11"] = bench_batched("standard", 11)
-    results["aleatoric_batch11_packed"] = bench_batched(
-        "aleatoric", 11, packed=True)
-    results["train_step"] = bench_train()
-    results["runner_aleatoric_batch11_e2e"] = bench_runner_aleatoric()
-    results["train_from_tfrecords"] = bench_train_from_tfrecords()
-    results["nms_full_anchor"] = bench_nms_full_anchor()
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+ROWS = {
+    "epistemic_T30_batch1": bench_epistemic,
+    "epistemic_T30_batch1_packed": lambda: bench_epistemic(packed=True),
+    "epistemic_T30_batch2": lambda: bench_epistemic(packed=True, nb=2),
+    "aleatoric_batch11": lambda: bench_batched("aleatoric", 11),
+    "standard_batch11": lambda: bench_batched("standard", 11),
+    "aleatoric_batch11_packed": lambda: bench_batched("aleatoric", 11,
+                                                      packed=True),
+    "train_step": bench_train,
+    "runner_aleatoric_batch11_e2e": bench_runner_aleatoric,
+    "train_from_tfrecords": bench_train_from_tfrecords,
+    "nms_full_anchor": bench_nms_full_anchor,
+}
+
+
+def main(only=()):
+    """Run all rows, or only the named ones (argv) MERGED into the
+    existing BENCH_DETAIL.json — partial re-measures after a targeted
+    change don't clobber unaffected rows."""
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_DETAIL.json")
+    results = {}
+    if only and os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f)
+    for name, fn in ROWS.items():
+        if only and name not in only:
+            continue
+        results[name] = fn()
+        print(name, json.dumps(results[name]))
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    unknown = set(sys.argv[1:]) - set(ROWS)
+    assert not unknown, f"unknown rows {unknown}; have {list(ROWS)}"
+    main(tuple(sys.argv[1:]))
