@@ -51,6 +51,11 @@ assert len(DARKNET53_CONV_SPECS) == 52
 SKIP8_IDX = 25
 SKIP16_IDX = 42
 
+# ablation knob: run the fused chain's 256-stage extension (convs 9-25)
+# when the geometry allows.  Flip to False to A/B against the XLA
+# 256-stage in one process (bench drift swamps cross-process deltas).
+EXTEND_256 = True
+
 
 def _conv_name(i: int) -> str:
     return f"conv_{i:02d}"
@@ -154,15 +159,23 @@ def _fast_stem(params, stats, x, compute_dtype):
 
 
 def _fused_early_stages(params, stats, x, compute_dtype, packed_hw=None):
-    """Convs 0-8 (s2d stem, res64, stride-2 64->128, res128 x2) via the
+    """Convs 0-8 (s2d stem, res64, stride-2 64->128, res128 x2) — and,
+    when the geometry allows, the whole 256-stage (convs 9-25) — via the
     fused channels-first Pallas kernels (ops.pallas_conv).
 
     These high-resolution low-channel stages run at 8-18% MFU under XLA's
     per-tap conv lowering (BENCH_NOTES.md round-3 accounting); the fused
     kernels K-stack the taps on the MXU contracting dimension and keep
-    every intermediate in VMEM.  Inference / frozen-BN only (moving
-    statistics), bf16 activations.  Returns the (N, H/4, W/4, 128)
-    activation feeding the 256-channel stage, plus the next conv index.
+    every intermediate in VMEM.  The 256-stage extension is a measured
+    win too: at the ECP batch-11 shape (11x128x240x256) the fused res
+    block runs 2.67 ms vs XLA's 3.65 (83 vs 61 TF/s, round-4 probe) —
+    XLA only overtakes at 512 channels, where the chain hands over.
+    Inference / frozen-BN only (moving statistics), bf16 activations.
+
+    Returns ``(h, next_conv_index, skip8)``: without the extension
+    ``h`` is the (N, H/4, W/4, 128) activation feeding the 256-stage and
+    ``skip8`` is None; with it, ``h`` IS the stride-8 skip activation
+    (N, H/8, W/8, 256) == ``skip8`` and next_conv_index is 26.
 
     ``packed_hw=(H, W)``: ``x`` is already the s2d channels-first uint8
     planes (N, 16, (H/2+2*PAD)*wp) from the HOST loader
@@ -179,6 +192,12 @@ def _fused_early_stages(params, stats, x, compute_dtype, packed_hw=None):
         n, H, W, _ = x.shape
     h2, w2 = H // 2, W // 2
     wp = -(-w2 // 256) * 256  # lane pad; wp/2 must stay a lane multiple
+    assert w2 < wp, (
+        f"W/2 == {w2} is a multiple of 256: the fused chain needs dead "
+        "lanes right of the image to absorb its circular 3x3 column "
+        "shifts (see _fused_early_ok) — this geometry must use the XLA "
+        "path (or a padded host pack)"
+    )
 
     p0, s0 = params[_conv_name(0)], stats[_conv_name(0)]
     p1, s1 = params[_conv_name(1)], stats[_conv_name(1)]
@@ -217,11 +236,34 @@ def _fused_early_stages(params, stats, x, compute_dtype, packed_hw=None):
         h, params[_conv_name(5)]["w"], params[_conv_name(6)]["w"],
         bn_of(5), bn_of(6), h=h4, w_real=w4, wp=hw, interpret=interpret,
     )
+    # 256-stage extension gate: the packed downsample halves the lane
+    # pitch (needs hw % 256 == 0 so stage-256 rows stay 128-lane aligned)
+    # and the row tiling needs H/8 % HT == 0.  EXTEND_256 is a
+    # module-level ablation knob for same-process A/B benches.
+    extend_256 = (EXTEND_256 and hw % 256 == 0
+                  and h4 % (2 * pc.HT) == 0)
     h = pc.fused_res_block_cf(
         h, params[_conv_name(7)]["w"], params[_conv_name(8)]["w"],
         bn_of(7), bn_of(8), h=h4, w_real=w4, wp=hw, interpret=interpret,
+        pack_phases=extend_256,
     )
-    return pc.unpack_flat_cf_to_nhwc(h, h4, w4, hw, dtype=compute_dtype), 9
+    if not extend_256:
+        return (pc.unpack_flat_cf_to_nhwc(h, h4, w4, hw,
+                                          dtype=compute_dtype), 9, None)
+    h8, w8, hw2 = h4 // 2, w4 // 2, hw // 2
+    h = pc.fused_downsample_packed_cf(
+        h, params[_conv_name(9)]["w"], bn_of(9),
+        h_out=h8, w_real_out=w8, wp_in=hw, interpret=interpret,
+    )
+    for b in range(8):  # convs 10-25: the eight 256-stage res blocks
+        i0 = 10 + 2 * b
+        h = pc.fused_res_block_cf(
+            h, params[_conv_name(i0)]["w"], params[_conv_name(i0 + 1)]["w"],
+            bn_of(i0), bn_of(i0 + 1), h=h8, w_real=w8, wp=hw2,
+            interpret=interpret,
+        )
+    skip8 = pc.unpack_flat_cf_to_nhwc(h, h8, w8, hw2, dtype=compute_dtype)
+    return skip8, 26, skip8
 
 
 def _fused_early_ok(x, training, compute_dtype):
@@ -230,11 +272,16 @@ def _fused_early_ok(x, training, compute_dtype):
     kernels are for tests; CPU inference keeps the XLA path)."""
     from ..ops.pallas_conv import HT
 
-    H = x.shape[1]
+    H, W = x.shape[1], x.shape[2]
     return (
         not training
         and compute_dtype == jnp.bfloat16
         and H % (4 * HT) == 0
+        # the kernels' 3x3 column shifts are circular rotates absorbed by
+        # the dead (masked-zero) lanes right of w_real; W/2 % 256 == 0
+        # means NO dead lanes (w_real == wp) and the rotate would wrap
+        # the neighboring row's edge pixel into the conv — keep XLA there
+        and (W // 2) % 256 != 0
         and jax.default_backend() == "tpu"
     )
 
@@ -289,11 +336,14 @@ def darknet53(
         fused_early = _fused_early_ok(x, training, compute_dtype)
     skip8 = skip16 = None
     if fused_early:
-        h, i = _fused_early_stages(params, stats, x, compute_dtype,
-                                   packed_hw=packed_hw)
-        for k in range(9):
+        h, i, skip8 = _fused_early_stages(params, stats, x, compute_dtype,
+                                          packed_hw=packed_hw)
+        for k in range(i):
             new_stats[_conv_name(k)] = stats[_conv_name(k)]
-        remaining = list(_STAGES)[2:]
+        # resume the XLA stages after wherever the fused chain stopped
+        # (9 -> before the 256-stage; 26 -> before the 512-stage, with
+        # skip8 already emitted by the chain)
+        remaining = list(_STAGES)[2 if i == 9 else 3:]
     elif fast_stem and not training:
         h = _fast_stem(params, stats, x, compute_dtype)
         new_stats[_conv_name(0)] = stats[_conv_name(0)]

@@ -146,6 +146,32 @@ def test_darknet_fused_early_matches_xla_backbone():
             err_msg=name, **TOL)
 
 
+def test_darknet_fused_256_stage_extension_matches_xla():
+    """When the geometry allows (hw % 256 == 0, H/8 row-tileable) the
+    fused chain continues through the whole 256-stage (convs 9-25) and
+    emits the stride-8 skip directly — a measured 27% win over XLA at
+    the ECP batch-11 shape (round-4 probe, BENCH_NOTES.md).  W=1920
+    (the ECP width: wp=1024, hw=512) triggers it; the (64,384) test
+    above covers the non-extended gate.  (W with W/2 % 256 == 0 must
+    NOT take the fused path at all: no dead lanes to absorb the
+    kernels' circular column shifts — _fused_early_ok.)"""
+    params, stats = darknet.init_darknet53(jax.random.PRNGKey(2))
+    r = np.random.default_rng(10)
+    x = jnp.asarray(r.uniform(0, 1, (1, 64, 1920, 3)), jnp.float32)
+    want = darknet.darknet53(params, stats, x, training=False,
+                             compute_dtype=BF, fused_early=False)
+    got = darknet.darknet53(params, stats, x, training=False,
+                            compute_dtype=BF, fused_early=True)
+    # extension sanity: the fused chain must actually have run convs 9-25
+    h, i, skip8 = darknet._fused_early_stages(params, stats, x, BF)
+    assert i == 26 and skip8 is not None and skip8.shape == (1, 8, 240, 256)
+    for g, w_, name in [(got[0], want[0], "out32"), (got[1], want[1],
+                        "skip16"), (got[2], want[2], "skip8")]:
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(w_, np.float32),
+            err_msg=name, **TOL)
+
+
 def test_pack_planes_host_matches_device_pack():
     """The host u8 pack twin produces the device pack's layout exactly
     (same channel order, pads, lane pitch) up to the u8->f32 scale."""

@@ -70,7 +70,9 @@ def conv_chain():
 
     params, stats = darknet.init_darknet53(jax.random.PRNGKey(0))
     r = np.random.default_rng(9)
-    x = jnp.asarray(r.uniform(0, 1, (1, 64, 384, 3)), jnp.float32)
+    # the ECP width: hw=512 triggers the fused 256-stage extension at
+    # the exact lane geometry production takes
+    x = jnp.asarray(r.uniform(0, 1, (1, 64, 1920, 3)), jnp.float32)
     want = darknet.darknet53(params, stats, x, training=False,
                              compute_dtype=BF, fused_early=False)
     got = darknet.darknet53(params, stats, x, training=False,
@@ -87,13 +89,13 @@ def conv_packed_input():
 
     params, stats = darknet.init_darknet53(jax.random.PRNGKey(1))
     r = np.random.default_rng(12)
-    img8 = r.integers(0, 256, (64, 384, 3), dtype=np.uint8)
+    img8 = r.integers(0, 256, (64, 1920, 3), dtype=np.uint8)
     imgf = jnp.asarray(img8[None], jnp.float32) / 255.0
     want = darknet.darknet53(params, stats, imgf, training=False,
                              compute_dtype=BF, fused_early=True)
     planes = jnp.asarray(pack_planes_host(img8)[None])
     got = darknet.darknet53(params, stats, planes, training=False,
-                            compute_dtype=BF, packed_hw=(64, 384))
+                            compute_dtype=BF, packed_hw=(64, 1920))
     return max(_assert_close(g, w, 0.05)
                for g, w in zip(got[:3], want[:3]))
 
