@@ -110,10 +110,24 @@ class InferenceRunner:
                 "fixed_mc_masks applies to the single-device epistemic "
                 "paths; the sharded paths (sp/mc mesh) draw per-device keys"
             )
+        # int8 head quantization (ops.quant): epistemic single-device only
+        self._qheads = None
+        if config.quantize is not None:
+            if config.quantize != "int8":
+                raise ValueError(f"unknown quantize mode {config.quantize!r}")
+            if not self.epistemic:
+                raise ValueError(
+                    "quantize='int8' targets the T-sample epistemic head "
+                    "section (bayesian model, inference_mode=True)"
+                )
+            if self.mesh is not None or self.sp_mesh is not None:
+                raise ValueError(
+                    "quantize='int8' is a single-device path (no sp/mc mesh)"
+                )
         if self._mc_fused is not None:
             fused = self._mc_fused
 
-            def run_fused(params, stats, images, rng):
+            def run_fused(params, stats, images, rng, qh=None):
                 imgs = jnp.asarray(images).astype(jnp.float32) / 255.0
                 rows, valid = fused(params, stats, imgs, rng)
                 # the sharded pipeline runs exact NMS (pre_top_k=0 below)
@@ -216,7 +230,30 @@ class InferenceRunner:
             self._jit_exact_fn = jax.jit(functools.partial(
                 self._device_pipeline, pre_top_k=0
             ))
-        return self._jit_exact_fn(params, stats, images, rng)
+        return self._jit_exact_fn(params, stats, images, rng, self._qheads)
+
+    # -- int8 quantization ------------------------------------------------
+
+    def calibrate_int8(self, params, stats, images):
+        """Calibrate + build the int8 head section (config.quantize="int8").
+
+        ``images``: representative uint8 NHWC batch (1-4 images suffice —
+        max-abs calibration, ops.quant.calibrate_mc_amax).  ``run()`` calls
+        this automatically on the dataset's first ``quant_calib_images``
+        images; ``predict()`` users call it once up front.
+        """
+        from ..ops.quant import calibrate_mc_amax, quantize_heads
+
+        assert self.config.quantize == "int8", "config.quantize is not set"
+        imgs = jnp.asarray(images).astype(jnp.float32) / 255.0
+        amax = calibrate_mc_amax(
+            params, stats, imgs, spec=self.spec, T=self.config.T,
+            rng=jax.random.PRNGKey(0), compute_dtype=self.model._dtype,
+        )
+        self._qheads = quantize_heads(params, stats, self.spec, amax)
+        log.info("int8 head section calibrated on %d images (%d sites)",
+                 imgs.shape[0], len(amax))
+        return self._qheads
 
     def device_batch_size(self) -> int:
         """Largest image batch the compiled device program accepts.
@@ -244,13 +281,21 @@ class InferenceRunner:
             "predict() takes NHWC uint8 images; packed_host_input is a "
             "run()-loop feed"
         )
+        if self.config.quantize is not None and self._qheads is None:
+            raise RuntimeError(
+                "config.quantize is set but the int8 head section is not "
+                "calibrated — call calibrate_int8(params, stats, images) "
+                "once before predict()"
+            )
         images_d = jnp.asarray(images)
-        rows, valid, cert = self._jit(params, stats, images_d, rng)
+        rows, valid, cert = self._jit(params, stats, images_d, rng,
+                                      self._qheads)
         if not np.asarray(cert).all():
             rows, valid, _ = self.exact_pipeline(params, stats, images_d, rng)
         return np.asarray(rows), np.asarray(valid)
 
-    def _device_pipeline(self, params, stats, images, rng, *, pre_top_k):
+    def _device_pipeline(self, params, stats, images, rng, qh=None, *,
+                         pre_top_k):
         """uint8 batch -> (rows, valid, cert) padded NMS selections.
 
         ``cert`` is the per-image exactness certificate of the pre-top-k
@@ -259,6 +304,9 @@ class InferenceRunner:
 
         With ``packed_host_input`` the ``images`` arg is the host-packed
         u8 planes (N, 16, L); scaling happens inside the backbone.
+
+        ``qh``: quantized-head pytree (ops.quant) — when given, the
+        epistemic head section runs int8 (config.quantize="int8").
         """
         packed_hw = (tuple(self.config.full_img_size[:2])
                      if self._packed_input() else None)
@@ -331,11 +379,20 @@ class InferenceRunner:
                 from ..ops.pallas_epistemic import fused_epistemic_decode_cf_batched
 
                 nb = imgs.shape[0]  # packed planes are (N, 16, L) — same axis
-                outs = mc_forward_cf(
-                    params, stats, imgs, spec=self.spec, T=cfg.T, rng=rng,
-                    compute_dtype=self.model._dtype, packed_hw=packed_hw,
-                    fixed_masks=cfg.fixed_mc_masks,
-                )
+                if qh is not None:
+                    from ..models.quant import mc_forward_cf_q
+
+                    outs = mc_forward_cf_q(
+                        qh, params, stats, imgs, spec=self.spec, T=cfg.T,
+                        rng=rng, compute_dtype=self.model._dtype,
+                        packed_hw=packed_hw, fixed_masks=cfg.fixed_mc_masks,
+                    )
+                else:
+                    outs = mc_forward_cf(
+                        params, stats, imgs, spec=self.spec, T=cfg.T, rng=rng,
+                        compute_dtype=self.model._dtype, packed_hw=packed_hw,
+                        fixed_masks=cfg.fixed_mc_masks,
+                    )
                 flat = jnp.concatenate(
                     [
                         fused_epistemic_decode_cf_batched(
@@ -359,8 +416,26 @@ class InferenceRunner:
                     with_certificate=True,
                 )
                 return rows, valid, cert
-            raws = self.model.mc_forward(params, stats, imgs, T=cfg.T, rng=rng,
-                                         fixed_masks=cfg.fixed_mc_masks)
+            if qh is not None:
+                # quantized forward emits channels-first raws; relayout to
+                # the (T, h, w, ch) the XLA decode expects (CPU/test path —
+                # on TPU quantize rides the fused branch above)
+                from ..models.quant import mc_forward_cf_q
+
+                outs = mc_forward_cf_q(
+                    qh, params, stats, imgs, spec=self.spec, T=cfg.T,
+                    rng=rng, compute_dtype=self.model._dtype,
+                    fixed_masks=cfg.fixed_mc_masks,
+                )
+                raws = [
+                    raw_cf.reshape(raw_cf.shape[0], cfg.T, h, w)
+                    .transpose(1, 2, 3, 0)
+                    for raw_cf, (h, w) in outs
+                ]
+            else:
+                raws = self.model.mc_forward(params, stats, imgs, T=cfg.T,
+                                             rng=rng,
+                                             fixed_masks=cfg.fixed_mc_masks)
             decoded = self._decode_scales(raws, epistemic=True)
             flat = decode.concat_all_scales(decoded)
             rows, valid, _, cert = nms.nms_select(
@@ -423,6 +498,17 @@ class InferenceRunner:
         # contract
         batch_size = self.device_batch_size()
         packed = self._packed_input()
+        if cfg.quantize is not None and self._qheads is None:
+            # calibrate the int8 head section on the dataset's first images
+            # (a separate one-epoch loader; the main loop re-reads them and
+            # they are processed quantized like every other image)
+            calib = []
+            calib_loader = pipeline.TestLoader(cfg, batch_size=1)
+            for b in calib_loader.batches():
+                calib.append(b["image"][0])
+                if len(calib) >= cfg.quant_calib_images:
+                    break
+            self.calibrate_int8(params, stats, np.stack(calib))
         loader = pipeline.TestLoader(cfg, batch_size=batch_size,
                                      pack_planes=packed)
         worker: Optional[threading.Thread] = None
@@ -461,7 +547,8 @@ class InferenceRunner:
             # double-buffer: dispatch this batch BEFORE fetching the
             # previous one, hiding the device->host round-trip latency
             images_d = jnp.asarray(images)
-            rows_d, valid_d, cert_d = self._jit(params, stats, images_d, key)
+            rows_d, valid_d, cert_d = self._jit(params, stats, images_d, key,
+                                                self._qheads)
             names = [f.decode() if isinstance(f, bytes) else f for f in batch["filename"]]
             if inflight is not None:
                 drain(inflight)

@@ -85,6 +85,7 @@ def _heads(
     fixed_site_keys=None,
     compute_dtype=jnp.float32,
     return_features: bool = False,
+    capture=None,
 ):
     """Everything after the backbone: 3 det heads + scale transitions.
 
@@ -100,6 +101,10 @@ def _heads(
     ``return_features=True`` returns the pre-detection-conv activations
     instead of detection outputs (the MC-sharded fast path applies the
     1x1 head as one channels-first contraction over all T samples).
+
+    ``capture`` (dict or None): when given, every conv block's output is
+    stored under its name — the int8 calibration hook
+    (ops.quant.calibrate_mc_amax reduces them to scalar maxima in-graph).
     """
     new_stats = {}
     if dropout_active and fixed_site_keys is None:
@@ -123,6 +128,8 @@ def _heads(
             drop_key_u32=key32, compute_dtype=compute_dtype,
         )
         new_stats[name] = s
+        if capture is not None:
+            capture[name] = y
         return y
 
     raws = []

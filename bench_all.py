@@ -34,7 +34,7 @@ def _pipe_time(dispatch, iters=8, depth=2):
     return (time.time() - t0) / iters
 
 
-def bench_epistemic(packed=False, nb=1):
+def bench_epistemic(packed=False, nb=1, quantize=False):
     import jax, jax.numpy as jnp
     from bayesian_yolov3_tpu.config import Config
     from bayesian_yolov3_tpu.core.priors import priors_as_array
@@ -61,9 +61,30 @@ def bench_epistemic(packed=False, nb=1):
         img = jnp.asarray(
             np.random.default_rng(0).uniform(0, 1, (nb, *FULL)), jnp.float32)
 
+    qh = None
+    if quantize:
+        # int8 PTQ head section (Config.quantize="int8"): calibrate on one
+        # random image, then run the quantized forward in place of bf16
+        from bayesian_yolov3_tpu.ops.quant import (
+            calibrate_mc_amax, quantize_heads)
+
+        calib = np.random.default_rng(2).uniform(0, 1, (1, *FULL))
+        amax = calibrate_mc_amax(
+            params, stats, jnp.asarray(calib, jnp.float32), spec=m.spec,
+            T=4, rng=jax.random.PRNGKey(3), compute_dtype=m._dtype)
+        qh = quantize_heads(params, stats, m.spec, amax)
+
     def fn(p, s, x, k):
-        outs = mc_forward_cf(p, s, x, spec=m.spec, T=30, rng=k, compute_dtype=m._dtype,
-                             packed_hw=FULL[:2] if packed else None)
+        if qh is not None:
+            from bayesian_yolov3_tpu.models.quant import mc_forward_cf_q
+
+            outs = mc_forward_cf_q(
+                qh, p, s, x, spec=m.spec, T=30, rng=k,
+                compute_dtype=m._dtype,
+                packed_hw=FULL[:2] if packed else None)
+        else:
+            outs = mc_forward_cf(p, s, x, spec=m.spec, T=30, rng=k, compute_dtype=m._dtype,
+                                 packed_hw=FULL[:2] if packed else None)
         if nb == 1:
             decoded = [
                 fused_epistemic_decode_cf(r, jnp.asarray(pri[st]), h=hw[0], w=hw[1],
@@ -360,6 +381,7 @@ ROWS = {
     "epistemic_T30_batch1": bench_epistemic,
     "epistemic_T30_batch1_packed": lambda: bench_epistemic(packed=True),
     "epistemic_T30_batch2": lambda: bench_epistemic(packed=True, nb=2),
+    "epistemic_T30_int8": lambda: bench_epistemic(packed=True, quantize=True),
     "aleatoric_batch11": lambda: bench_batched("aleatoric", 11),
     "standard_batch11": lambda: bench_batched("standard", 11),
     "aleatoric_batch11_packed": lambda: bench_batched("aleatoric", 11,

@@ -1,0 +1,169 @@
+"""int8 post-training quantization tests (ops.quant / models.quant).
+
+Framework extension — the TF1 reference is f32-only; no reference
+counterpart.  Three levels:
+
+1. raw closeness on RANDOM weights (the worst case for PTQ — no learned
+   structure): the int8 head section must track the f32 raws bit-for-bit
+   in the dropout masks (fixed_masks => identical key tables) and closely
+   in value.
+2. the InferenceRunner integration: config.quantize="int8" auto-calibrates
+   inside run(), produces well-formed ECP JSON, and predict() enforces the
+   calibrate-first contract.
+3. the accuracy claim on a TRAINED model (the PARITY.md row): quantized
+   mAP tracks the f32 production pipeline on the same weights and images.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import synth
+from bayesian_yolov3_tpu.config import Config, DataConfig
+from bayesian_yolov3_tpu.infer.runner import InferenceRunner
+from bayesian_yolov3_tpu.models.quant import mc_forward_cf_q
+from bayesian_yolov3_tpu.models.yolov3 import YoloV3, mc_forward_cf
+from bayesian_yolov3_tpu.ops.quant import calibrate_mc_amax, quantize_heads
+from bayesian_yolov3_tpu.train import loop as train_loop
+
+IMG = (64, 96, 3)
+T = 6
+SEED = 123  # fixed_masks seed: both paths draw bit-identical dropout masks
+
+
+def test_quant_raw_closeness(rng):
+    """f32 vs int8 raws on random weights: high correlation, bounded
+    normalized error (per-tensor symmetric act quant + per-channel weight
+    quant over 7 chained convs)."""
+    cfg = Config(model="bayesian", full_img_size=IMG, T=T,
+                 inference_mode=True, compute_dtype="float32",
+                 darknet53_weights="")
+    model = YoloV3.from_config(cfg)
+    params, stats = model.init(jax.random.PRNGKey(0))
+
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, *IMG)).astype(np.float32))
+    amax = calibrate_mc_amax(params, stats, imgs, spec=model.spec, T=T,
+                             rng=jax.random.PRNGKey(1))
+    qh = quantize_heads(params, stats, model.spec, amax)
+
+    img = imgs[:1]
+    outs_f = mc_forward_cf(params, stats, img, spec=model.spec, T=T,
+                           rng=None, fixed_masks=SEED)
+    outs_q = mc_forward_cf_q(qh, params, stats, img, spec=model.spec, T=T,
+                             rng=None, fixed_masks=SEED)
+    for (raw_f, hw_f), (raw_q, hw_q) in zip(outs_f, outs_q):
+        assert hw_f == hw_q and raw_f.shape == raw_q.shape
+        a = np.asarray(raw_f, np.float64).ravel()
+        b = np.asarray(raw_q, np.float64).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.995, corr
+        scale = np.abs(a).max()
+        assert np.abs(a - b).max() / scale < 0.10, (
+            np.abs(a - b).max(), scale)
+
+
+def test_runner_quant_end_to_end(tmp_path, rng):
+    """config.quantize="int8" through the full runner: auto-calibration in
+    run() -> well-formed ECP JSON; predict() enforces calibrate-first and
+    then agrees with run()'s compiled program."""
+    pattern = synth.write_dataset(str(tmp_path / "data"), rng, n_images=3,
+                                  img_hw=IMG[:2])
+    cfg = Config(
+        model="bayesian", full_img_size=IMG, batch_size=1,
+        max_boxes_per_img=8, train_steps=2, checkpoint_interval=2,
+        checkpoint_path=str(tmp_path / "ckpt"), darknet53_weights="",
+        run_id="qrun", T=T, nms_max_boxes=20,
+        train=DataConfig(file_pattern=pattern, shuffle_buffer_size=2),
+        val=DataConfig(file_pattern=pattern, shuffle_buffer_size=2),
+        data=DataConfig(file_pattern=pattern),
+    )
+    train_loop.Trainer(cfg, seed=0).run()
+
+    cfg.inference_mode = True
+    cfg.quantize = "int8"
+    cfg.quant_calib_images = 1
+    cfg.out_path = str(tmp_path / "out")
+    os.makedirs(cfg.out_path, exist_ok=True)
+    runner = InferenceRunner(cfg)
+
+    # predict() before calibration is a contract error, not a silent f32 run
+    params, stats, _ = runner.load_state()
+    img_u8 = (rng.uniform(0, 255, (1, *IMG))).astype(np.uint8)
+    with pytest.raises(RuntimeError, match="calibrat"):
+        runner.predict(params, stats, img_u8, jax.random.PRNGKey(0))
+
+    out_dir = runner.run()  # auto-calibrates on the first image
+    assert runner._qheads is not None
+    files = sorted(glob.glob(os.path.join(out_dir, "*.json")))
+    assert len(files) == 3
+    for f in files:
+        for d in json.load(open(f))["children"]:
+            assert np.isfinite(d["score"])
+            assert np.isfinite(d["obj_mutual_info"])
+
+    # predict() now works on the calibrated runner
+    rows, valid = runner.predict(params, stats, img_u8, jax.random.PRNGKey(2))
+    assert rows.shape[0] == 1 and np.isfinite(rows[0, valid[0]].sum())
+
+
+def test_quant_validation_errors():
+    """quantize="int8" is epistemic-only and single-device-only."""
+    with pytest.raises(ValueError, match="epistemic"):
+        InferenceRunner(Config(model="standard", full_img_size=IMG,
+                               quantize="int8", darknet53_weights=""))
+    with pytest.raises(ValueError, match="unknown quantize"):
+        InferenceRunner(Config(model="bayesian", inference_mode=True,
+                               full_img_size=IMG, quantize="int4",
+                               darknet53_weights=""))
+    if len(jax.devices()) >= 8:
+        with pytest.raises(ValueError, match="single-device"):
+            InferenceRunner(Config(model="bayesian", inference_mode=True,
+                                   full_img_size=IMG, quantize="int8", T=8,
+                                   mesh_shape={"mc": 8},
+                                   darknet53_weights=""))
+
+
+def test_quant_trained_map_agreement(rng):
+    """The PARITY.md accuracy claim: on a trained model, the int8 pipeline's
+    mAP tracks the f32 production pipeline on the same weights/images.
+
+    fixed_mc_masks pins identical dropout masks in both pipelines, so the
+    only difference is head-conv precision."""
+    from test_accuracy_parity import N_IMAGES, _score, _train_bayesian
+    from bayesian_yolov3_tpu.eval.detection_metrics import evaluate_detections
+
+    params, stats, imgs_u8, gt = _train_bayesian(rng)
+    key = jax.random.PRNGKey(99)
+
+    outs = {}
+    for mode in ("f32", "int8"):
+        cfg = Config(
+            model="bayesian", full_img_size=IMG, T=8, inference_mode=True,
+            compute_dtype="float32", darknet53_weights="", nms_max_boxes=64,
+            fixed_mc_masks=SEED,
+            quantize=None if mode == "f32" else "int8",
+        )
+        runner = InferenceRunner(cfg)
+        if mode == "int8":
+            runner.calibrate_int8(params, stats, imgs_u8)
+        res = {}
+        for b in range(N_IMAGES):
+            rows, valid = runner.predict(params, stats, imgs_u8[b : b + 1],
+                                         jax.random.fold_in(key, b))
+            res[b] = (rows[0], valid[0])
+        outs[mode] = res
+
+    preds_f, _ = _score(outs["f32"], runner.spec)
+    preds_q, _ = _score(outs["int8"], runner.spec)
+    m_f = evaluate_detections(preds_f, gt, [1, 2])
+    m_q = evaluate_detections(preds_q, gt, [1, 2])
+    assert m_f["mAP"] > 0.05, m_f  # non-vacuous: the model detects
+    # int8 PTQ tolerance — looser than the bf16 1e-3 clause (quantization
+    # is a deliberate accuracy/speed trade, measured here)
+    assert abs(m_q["mAP"] - m_f["mAP"]) <= 0.05, (m_q["mAP"], m_f["mAP"])
