@@ -34,7 +34,7 @@ def _pipe_time(dispatch, iters=8, depth=2):
     return (time.time() - t0) / iters
 
 
-def bench_epistemic(packed=False, nb=1, quantize=False):
+def bench_epistemic(packed=False, nb=1, quantize=False, fixed_masks=None):
     import jax, jax.numpy as jnp
     from bayesian_yolov3_tpu.config import Config
     from bayesian_yolov3_tpu.core.priors import priors_as_array
@@ -81,10 +81,12 @@ def bench_epistemic(packed=False, nb=1, quantize=False):
             outs = mc_forward_cf_q(
                 qh, p, s, x, spec=m.spec, T=30, rng=k,
                 compute_dtype=m._dtype,
-                packed_hw=FULL[:2] if packed else None)
+                packed_hw=FULL[:2] if packed else None,
+                fixed_masks=fixed_masks)
         else:
             outs = mc_forward_cf(p, s, x, spec=m.spec, T=30, rng=k, compute_dtype=m._dtype,
-                                 packed_hw=FULL[:2] if packed else None)
+                                 packed_hw=FULL[:2] if packed else None,
+                                 fixed_masks=fixed_masks)
         if nb == 1:
             decoded = [
                 fused_epistemic_decode_cf(r, jnp.asarray(pri[st]), h=hw[0], w=hw[1],
@@ -382,6 +384,15 @@ ROWS = {
     "epistemic_T30_batch1_packed": lambda: bench_epistemic(packed=True),
     "epistemic_T30_batch2": lambda: bench_epistemic(packed=True, nb=2),
     "epistemic_T30_int8": lambda: bench_epistemic(packed=True, quantize=True),
+    # deterministic serving modes (Config.fixed_mc_masks): constant-key
+    # mask tables -> same image, same uncertainties.  Measured
+    # throughput-NEUTRAL vs keyed masks (the ~8.7 ms/img mask pass is the
+    # per-element draw itself, not key plumbing — BENCH_NOTES.md round 3);
+    # these rows keep the deterministic configs on the measured record.
+    "epistemic_T30_fixed_masks": lambda: bench_epistemic(
+        packed=True, fixed_masks=123),
+    "epistemic_T30_int8_fixed": lambda: bench_epistemic(
+        packed=True, quantize=True, fixed_masks=123),
     "aleatoric_batch11": lambda: bench_batched("aleatoric", 11),
     "standard_batch11": lambda: bench_batched("standard", 11),
     "aleatoric_batch11_packed": lambda: bench_batched("aleatoric", 11,

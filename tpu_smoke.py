@@ -281,8 +281,49 @@ def nms_imgvec():
     return 0.0
 
 
+# ---------------------------------------------------------------------------
+# quant: the int8 PTQ head section (models.quant) — the one production
+# surface that is XLA-int8 rather than Mosaic; asserts the chip's int8
+# conv/dot lowering tracks the float raws (tests/test_quant.py:40 compiled,
+# loose PTQ tolerances — quantization error, not kernel parity).  Reported
+# max_dev is the worst per-scale RELATIVE max error.
+# ---------------------------------------------------------------------------
+@check("quant_int8_head_section")
+def quant_int8():
+    from bayesian_yolov3_tpu.config import Config
+    from bayesian_yolov3_tpu.models.quant import mc_forward_cf_q
+    from bayesian_yolov3_tpu.models.yolov3 import YoloV3, mc_forward_cf
+    from bayesian_yolov3_tpu.ops.quant import calibrate_mc_amax, quantize_heads
+
+    img_size, t, seed = (64, 96, 3), 6, 123  # fixed masks: identical keys
+    cfg = Config(model="bayesian", full_img_size=img_size, T=t,
+                 inference_mode=True, compute_dtype="float32",
+                 darknet53_weights="")
+    model = YoloV3.from_config(cfg)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    r = np.random.default_rng(8)
+    imgs = jnp.asarray(r.uniform(0, 1, (2, *img_size)), jnp.float32)
+    amax = calibrate_mc_amax(params, stats, imgs, spec=model.spec, T=t,
+                             rng=jax.random.PRNGKey(1))
+    qh = quantize_heads(params, stats, model.spec, amax)
+    outs_f = mc_forward_cf(params, stats, imgs[:1], spec=model.spec, T=t,
+                           rng=None, fixed_masks=seed)
+    outs_q = mc_forward_cf_q(qh, params, stats, imgs[:1], spec=model.spec,
+                             T=t, rng=None, fixed_masks=seed)
+    worst = 0.0
+    for (raw_f, _), (raw_q, _) in zip(outs_f, outs_q):
+        a = np.asarray(raw_f, np.float64).ravel()
+        b = np.asarray(raw_q, np.float64).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.995, f"corr {corr}"
+        rel = np.abs(a - b).max() / np.abs(a).max()
+        assert rel < 0.10, f"rel max err {rel}"
+        worst = max(worst, rel)
+    return worst
+
+
 CHECKS = [conv_chain, conv_packed_input, epistemic_decode, epistemic_batched,
-          epistemic_moments, box_decode, nms_seq, nms_imgvec]
+          epistemic_moments, box_decode, nms_seq, nms_imgvec, quant_int8]
 
 
 def main():
