@@ -4,7 +4,10 @@ For each of the 9 priors and each uncertainty key —
 ``{epi_covar_loc, ale_var_loc} x {x, y, w, h}`` plus ``cls_mutual_info``,
 ``obj_mean``, ``obj_mutual_info`` — colorize the detection grid (plasma
 colormap, 99th-percentile vmax, vis_uncertainty.py:15-31), nearest-upsample
-by the stride, alpha-blend 0.7 over the image and save a PNG (:34-46).
+by the stride, alpha-blend ``0.7*img + 0.3*heatmap`` and save a PNG
+(:34-46; the reference's main flow calls ``color_map(..., vmin=0,
+vmax=None)`` at :91-131, so vmin is 0 and vmax falls back to the
+99th percentile).
 
 The reference forks one process per key to get a fresh TF graph
 (:192-202); with pure functions we simply run the epistemic forward once
@@ -46,14 +49,23 @@ def uncertainty_maps(stats_per_scale: List[Dict]) -> Dict[str, List[np.ndarray]]
     return out
 
 
-def colorize(grid: np.ndarray, vmax: Optional[float] = None) -> np.ndarray:
-    """(h, w) -> plasma RGB in [0,1], vmax at the 99th percentile (:15-31)."""
+def colorize(grid: np.ndarray, vmin: Optional[float] = None,
+             vmax: Optional[float] = None) -> np.ndarray:
+    """(h, w) -> plasma RGB in [0,1] (vis_uncertainty.py:15-31).
+
+    Defaults mirror the reference's colorize: vmin = grid minimum, vmax =
+    99th percentile; norm = (grid - vmin) / (vmax - vmin), clipped to
+    [0, 1] (the reference clips the 0-255 quantized indices, :24).  The
+    production render flow passes vmin=0 (reference :91-131).
+    """
     import matplotlib.cm as cm
 
+    if vmin is None:
+        vmin = float(np.min(grid))
     if vmax is None:
         vmax = np.percentile(grid, 99)
-    vmax = max(float(vmax), 1e-12)
-    norm = np.clip(grid / vmax, 0.0, 1.0)
+    span = max(float(vmax) - float(vmin), 1e-12)
+    norm = np.clip((grid - float(vmin)) / span, 0.0, 1.0)
     return np.asarray(cm.plasma(norm))[..., :3]
 
 
@@ -65,7 +77,10 @@ def upsample_to(img_hw, grid: np.ndarray) -> np.ndarray:
 
 
 def blend(img: np.ndarray, heat: np.ndarray, alpha: float = ALPHA) -> np.ndarray:
-    return np.clip(alpha * heat + (1 - alpha) * img, 0.0, 1.0)
+    """``alpha*img + (1-alpha)*heat`` — 70% image, 30% heatmap
+    (vis_uncertainty.py:40, ``blended = alpha * img + (1 - alpha) *
+    uncertainty`` with alpha=0.7)."""
+    return np.clip(alpha * img + (1 - alpha) * heat, 0.0, 1.0)
 
 
 class UncertaintyVisualizer:
@@ -102,7 +117,8 @@ class UncertaintyVisualizer:
         for key, per_scale in maps.items():
             for scale_idx, grid in enumerate(per_scale):
                 for prior_idx in range(grid.shape[-1]):
-                    heat = colorize(grid[..., prior_idx])
+                    # reference main flow: vmin=0 explicit, vmax 99th pct
+                    heat = colorize(grid[..., prior_idx], vmin=0.0)
                     heat = upsample_to(img.shape[:2], heat)
                     blended = blend(img, heat)
                     name = f"{tag}_{key}_l{scale_idx}_p{prior_idx}.png"

@@ -293,9 +293,11 @@ def mc_forward_cf(
 
     ``fixed_masks`` (int seed or None): reuse the SAME T dropout-mask sets
     for every image — the per-(sample, site) hash keys become compile-time
-    constants derived from the seed, so the mask draw fuses into the conv
-    epilogues instead of costing a separate keyed full-tensor pass
-    (~8.7 ms/img at T=30, BENCH_NOTES.md).  Statistically this is MC
+    constants derived from the seed.  This is a DETERMINISM feature, not a
+    throughput one: measured throughput-neutral vs keyed masks (the
+    ~8.7 ms/img mask cost at T=30 is the per-element draw itself, which
+    constant keys do not remove — BENCH_NOTES.md round 4, keyed 21.06 vs
+    fixed 21.29 img/s).  Statistically this is MC
     integration with T fixed posterior weight samples: per-image epistemic
     statistics have the same distribution as fresh-mask sampling at the
     same T; estimator noise is correlated ACROSS images instead of

@@ -134,8 +134,8 @@ def _score(rows_by_img, spec, cls_cnt=2):
     return preds, variances
 
 
-def test_trained_model_metric_parity_bf16_vs_f32(rng):
-    params, stats, imgs_u8, gt = _train_bayesian(rng)
+def test_trained_model_metric_parity_bf16_vs_f32(trained_bayesian):
+    params, stats, imgs_u8, gt = trained_bayesian
     key = jax.random.PRNGKey(99)
 
     # (a) production pipeline, TPU default precision (bf16)
