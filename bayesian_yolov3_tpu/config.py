@@ -100,15 +100,20 @@ class Config:
     # single-device epistemic path (models.yolov3.mc_forward_cf); measured
     # throughput-neutral (BENCH_NOTES.md).
     fixed_mc_masks: Any = None
-    # int8 post-training quantization of the detection-head section for
-    # epistemic inference (ops.quant): the MXU runs int8 at ~2x bf16 and
-    # the T-sample head section dominates the epistemic forward (measured
-    # 1.6x head-section win, BENCH_NOTES.md round 4).  "int8" or None.
-    # Requires calibration: InferenceRunner.run() calibrates on the first
-    # quant_calib_images images of the dataset automatically;
+    # int8 post-training quantization of the detection-head section
+    # (ops.quant): the MXU runs int8 at ~2x bf16.  Covers the T-sample
+    # epistemic section (measured 1.6x section win, BENCH_NOTES.md round
+    # 4) AND the batched standard/aleatoric heads (round 5).  "int8" or
+    # None.  Requires calibration: InferenceRunner.run() calibrates on
+    # the first quant_calib_images images of the dataset automatically;
     # predict() users call InferenceRunner.calibrate_int8() first.
     quantize: Optional[str] = None
     quant_calib_images: int = 2
+    # activation-calibration reduction: None = max-abs (default), or a
+    # percentile of |activation| (e.g. 99.9) — outliers beyond it saturate
+    # at +-127 while the bulk gets a finer grid (ablation in
+    # tests/test_quant.py)
+    quant_calib_percentile: Optional[float] = None
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)
     max_boxes_per_img: int = 60  # static GT padding for the vectorized encoder
     # multi-host (DCN) bring-up (SURVEY §5.8): set coordinator_address to

@@ -102,34 +102,43 @@ class InferenceRunner:
                     nms_pre_top_k=0,  # multi-chip: exact NMS outright
                     use_pallas_nms=True,
                     interpret=interpret,
+                    fixed_masks=config.fixed_mc_masks,
                 )
         if config.fixed_mc_masks is not None and (
-            self.mesh is not None or self.sp_mesh is not None
+            self.sp_mesh is not None
+            or (self.mesh is not None and self._mc_fused is None)
         ):
             raise ValueError(
-                "fixed_mc_masks applies to the single-device epistemic "
-                "paths; the sharded paths (sp/mc mesh) draw per-device keys"
+                "fixed_mc_masks composes with the single-device epistemic "
+                "paths and the mc-sharded FUSED pipeline (use_pallas); the "
+                "sp mesh and the GSPMD mc fallback draw per-device keys"
             )
-        # int8 head quantization (ops.quant): epistemic single-device only
+        # int8 head quantization (ops.quant): covers BOTH the T-sample
+        # epistemic section and the batched standard/aleatoric heads
+        # (the reference's own headline batch-11 config,
+        # inference_aleatoric.py:227)
         self._qheads = None
         if config.quantize is not None:
             if config.quantize != "int8":
                 raise ValueError(f"unknown quantize mode {config.quantize!r}")
-            if not self.epistemic:
+            if self.sp_mesh is not None:
                 raise ValueError(
-                    "quantize='int8' targets the T-sample epistemic head "
-                    "section (bayesian model, inference_mode=True)"
+                    "quantize='int8' does not compose with the sp (spatial) "
+                    "mesh: the quantized section runs on the gathered head "
+                    "inputs, which the sp axis shards"
                 )
-            if self.mesh is not None or self.sp_mesh is not None:
+            if self.mesh is not None and self._mc_fused is None:
                 raise ValueError(
-                    "quantize='int8' is a single-device path (no sp/mc mesh)"
+                    "quantize='int8' over the mc mesh requires the fused "
+                    "shard_map pipeline (config.use_pallas=True); the GSPMD "
+                    "fallback cannot partition the quantized section"
                 )
         if self._mc_fused is not None:
             fused = self._mc_fused
 
             def run_fused(params, stats, images, rng, qh=None):
                 imgs = jnp.asarray(images).astype(jnp.float32) / 255.0
-                rows, valid = fused(params, stats, imgs, rng)
+                rows, valid = fused(params, stats, imgs, rng, qh)
                 # the sharded pipeline runs exact NMS (pre_top_k=0 below)
                 return rows, valid, jnp.ones((rows.shape[0],), jnp.bool_)
 
@@ -238,18 +247,36 @@ class InferenceRunner:
         """Calibrate + build the int8 head section (config.quantize="int8").
 
         ``images``: representative uint8 NHWC batch (1-4 images suffice —
-        max-abs calibration, ops.quant.calibrate_mc_amax).  ``run()`` calls
-        this automatically on the dataset's first ``quant_calib_images``
-        images; ``predict()`` users call it once up front.
+        max-abs calibration).  Epistemic runners calibrate over the MC
+        sample distribution (ops.quant.calibrate_mc_amax); batched
+        standard/aleatoric runners over the plain forward
+        (calibrate_forward_amax).  ``run()`` calls this automatically on
+        the dataset's first ``quant_calib_images`` images; ``predict()``
+        users call it once up front.
         """
-        from ..ops.quant import calibrate_mc_amax, quantize_heads
+        from ..ops.quant import (
+            calibrate_forward_amax,
+            calibrate_mc_amax,
+            quantize_heads,
+        )
 
         assert self.config.quantize == "int8", "config.quantize is not set"
         imgs = jnp.asarray(images).astype(jnp.float32) / 255.0
-        amax = calibrate_mc_amax(
-            params, stats, imgs, spec=self.spec, T=self.config.T,
-            rng=jax.random.PRNGKey(0), compute_dtype=self.model._dtype,
-        )
+        pct = self.config.quant_calib_percentile
+        if self.epistemic:
+            amax = calibrate_mc_amax(
+                params, stats, imgs, spec=self.spec, T=self.config.T,
+                rng=jax.random.PRNGKey(0), compute_dtype=self.model._dtype,
+                percentile=pct,
+            )
+        else:
+            amax = calibrate_forward_amax(
+                params, stats, imgs, spec=self.spec,
+                rng=jax.random.PRNGKey(0),
+                compute_dtype=self.model._dtype,
+                standard_test_dropout=self.config.standard_test_dropout,
+                percentile=pct,
+            )
         self._qheads = quantize_heads(params, stats, self.spec, amax)
         log.info("int8 head section calibrated on %d images (%d sites)",
                  imgs.shape[0], len(amax))
@@ -305,8 +332,10 @@ class InferenceRunner:
         With ``packed_host_input`` the ``images`` arg is the host-packed
         u8 planes (N, 16, L); scaling happens inside the backbone.
 
-        ``qh``: quantized-head pytree (ops.quant) — when given, the
-        epistemic head section runs int8 (config.quantize="int8").
+        ``qh``: quantized-head pytree (ops.quant) — when given, the head
+        section runs int8 (config.quantize="int8"): the T-sample
+        epistemic section on epistemic runners, the batched
+        standard/aleatoric heads otherwise.
         """
         packed_hw = (tuple(self.config.full_img_size[:2])
                      if self._packed_input() else None)
@@ -449,11 +478,20 @@ class InferenceRunner:
             from ..models.yolov3 import forward_cf
             from ..ops.pallas_decode import fused_box_decode_cf
 
-            outs = forward_cf(
-                params, stats, imgs, spec=self.spec, rng=rng,
-                standard_test_dropout=self.config.standard_test_dropout,
-                compute_dtype=self.model._dtype, packed_hw=packed_hw,
-            )
+            if qh is not None:
+                from ..models.quant import forward_cf_q
+
+                outs = forward_cf_q(
+                    qh, params, stats, imgs, spec=self.spec, rng=rng,
+                    standard_test_dropout=self.config.standard_test_dropout,
+                    compute_dtype=self.model._dtype, packed_hw=packed_hw,
+                )
+            else:
+                outs = forward_cf(
+                    params, stats, imgs, spec=self.spec, rng=rng,
+                    standard_test_dropout=self.config.standard_test_dropout,
+                    compute_dtype=self.model._dtype, packed_hw=packed_hw,
+                )
             flat = jnp.concatenate(
                 [
                     fused_box_decode_cf(
@@ -474,7 +512,27 @@ class InferenceRunner:
             )
             return rows, valid, cert
 
-        raws, _ = self.model.forward(params, stats, imgs, training=False, rng=rng)
+        if qh is not None:
+            # quantized batched forward emits channels-first raws; relayout
+            # to (N, h, w, ch) for the XLA decode (CPU/test path — on TPU
+            # quantize rides the fused branch above)
+            from ..models.quant import forward_cf_q
+
+            outs = forward_cf_q(
+                qh, params, stats, imgs, spec=self.spec, rng=rng,
+                standard_test_dropout=self.config.standard_test_dropout,
+                compute_dtype=self.model._dtype,
+            )
+            raws = [
+                raw_cf.reshape(raw_cf.shape[0], imgs.shape[0], h, w)
+                .transpose(1, 2, 3, 0)
+                for raw_cf, (h, w) in outs
+            ]
+        else:
+            raws, _ = self.model.forward(
+                params, stats, imgs, training=False, rng=rng,
+                standard_test_dropout=self.config.standard_test_dropout,
+            )
         decoded = self._decode_scales(raws, epistemic=False)
         flat = decode.concat_all_scales_batched(decoded)
         rows, valid, _, cert = nms.nms_select_batch(

@@ -174,9 +174,75 @@ def _quant_one(p: Dict, s: Dict, in_scale_vec, out_scale: float) -> Dict:
     }
 
 
+def _site_reduce(x, percentile):
+    """|x| -> calibration scalar: max-abs, or the given percentile of |x|
+    (e.g. 99.9 — clips outlier activations for a finer int8 grid on the
+    bulk; the clipped tail saturates at +-127, see calibrate docstrings)."""
+    a = jnp.abs(x.astype(jnp.float32))
+    if percentile is None:
+        return jnp.max(a)
+    return jnp.percentile(a.ravel(), percentile)
+
+
+def calibrate_forward_amax(
+    params: Dict, stats: Dict, images, *, spec, rng=None,
+    compute_dtype=jnp.float32, standard_test_dropout: bool = False,
+    fused_early=None, percentile=None,
+) -> Dict[str, float]:
+    """Per-site |activation| maxima for the BATCHED (non-MC) forwards.
+
+    The standard/aleatoric counterpart of ``calibrate_mc_amax`` — one
+    production forward per calibration image (dropout per spec: active
+    only for the bayesian variant without standard_test_dropout), same
+    capture sites (three backbone outputs + every head/trans conv block's
+    post-LeakyReLU output).  ``images``: (N, H, W, 3) f32 in [0, 1].
+
+    ``percentile`` (None or e.g. 99.9): reduce each site to that
+    percentile of |activation| instead of the max — activations beyond it
+    saturate at +-127 while the bulk gets a finer grid (the measured
+    trade-off is recorded in tests/test_quant.py's calibration ablation).
+    """
+    from ..models import darknet
+    from ..models.yolov3 import _heads
+
+    dropout_active = spec.mc_dropout and not standard_test_dropout
+    if dropout_active:
+        assert rng is not None, "MC dropout requires an rng key"
+
+    @jax.jit
+    def one_image(img, key):
+        out32, skip16, skip8, _ = darknet.darknet53(
+            params["backbone"], stats["backbone"], img,
+            training=False, compute_dtype=compute_dtype,
+            fused_early=fused_early,
+        )
+        cap = {}
+        _heads(
+            params, stats, out32, skip16, skip8,
+            spec=spec, training=False, dropout_active=dropout_active,
+            rng=key, compute_dtype=compute_dtype, return_features=True,
+            capture=cap,
+        )
+        out = {n: _site_reduce(v, percentile) for n, v in cap.items()}
+        out["out32"] = _site_reduce(out32, percentile)
+        out["skip16"] = _site_reduce(skip16, percentile)
+        out["skip8"] = _site_reduce(skip8, percentile)
+        return out
+
+    amax: Dict[str, float] = {}
+    key = None
+    for i in range(images.shape[0]):
+        if dropout_active:
+            rng, key = jax.random.split(rng)
+        vals = jax.device_get(one_image(images[i:i + 1], key))
+        for n, v in vals.items():
+            amax[n] = max(amax.get(n, 0.0), float(v))
+    return amax
+
+
 def calibrate_mc_amax(
     params: Dict, stats: Dict, images, *, spec, T: int, rng,
-    compute_dtype=jnp.float32, fused_early=None,
+    compute_dtype=jnp.float32, fused_early=None, percentile=None,
 ) -> Dict[str, float]:
     """Observe per-site |activation| maxima over calibration images.
 
@@ -185,6 +251,10 @@ def calibrate_mc_amax(
     image and reduces each head/trans block's post-LeakyReLU output and
     the three backbone outputs to scalar maxima.  ``images``: (N, H, W, 3)
     f32 in [0, 1] (N small — 1-4 images suffice for max calibration).
+
+    ``percentile`` (None or e.g. 99.9): per-sample percentile of
+    |activation| instead of the max, then max over samples/images (see
+    calibrate_forward_amax; the ablation lives in tests/test_quant.py).
     """
     from ..models import darknet
     from ..models.yolov3 import _heads
@@ -197,9 +267,9 @@ def calibrate_mc_amax(
             fused_early=fused_early,
         )
         entry = {
-            "out32": jnp.max(jnp.abs(out32.astype(jnp.float32))),
-            "skip16": jnp.max(jnp.abs(skip16.astype(jnp.float32))),
-            "skip8": jnp.max(jnp.abs(skip8.astype(jnp.float32))),
+            "out32": _site_reduce(out32, percentile),
+            "skip16": _site_reduce(skip16, percentile),
+            "skip8": _site_reduce(skip8, percentile),
         }
 
         def one_sample(k):
@@ -210,8 +280,7 @@ def calibrate_mc_amax(
                 compute_dtype=compute_dtype, return_features=True,
                 capture=cap,
             )
-            return {n: jnp.max(jnp.abs(v.astype(jnp.float32)))
-                    for n, v in cap.items()}
+            return {n: _site_reduce(v, percentile) for n, v in cap.items()}
 
         per_sample = jax.vmap(one_sample)(jax.random.split(key, T))
         out = {n: jnp.max(v) for n, v in per_sample.items()}

@@ -79,6 +79,7 @@ def make_mc_sharded_fused_pipeline(
     use_pallas_nms: bool = True,
     interpret: bool = False,
     axis: str = "mc",
+    fixed_masks=None,
 ):
     """Fused multi-chip epistemic pipeline (the north-star configuration).
 
@@ -100,12 +101,25 @@ def make_mc_sharded_fused_pipeline(
     MC statistics are unaffected.  Threefry keys are layout-invariant and
     make the sharded path bit-identical to single-device (tested in
     tests/test_mc_sharded.py).
+
+    ``fixed_masks`` (int seed or None): deterministic serving over the
+    mesh — the SAME constant (T, 15) per-(sample, site) key table as the
+    single-device paths (yolov3._fixed_key_table), sharded over ``axis``
+    so each device draws its global samples' masks; mask bits are
+    IDENTICAL to the single-device fixed-mask run at the same seed/T
+    regardless of mesh shape.  ``rng`` is ignored when set.
+
+    ``qh`` (call-time arg, quantized-head pytree from ops.quant or None):
+    the int8 head section (models.quant._heads_q) runs per device on its
+    local samples — multi-chip keeps the measured 1.57x int8 section win
+    (BENCH_NOTES round 4); the psum'd moments are f32 either way.
     """
     from jax.experimental.shard_map import shard_map
 
     from ..ops import nms as nms_lib
     from ..ops.common import detection_conv_cf
     from ..ops.pallas_epistemic import epistemic_finalize, epistemic_moments_cf
+    from ..ops.quant import quant_detection_cf, quantize_act
 
     n = mesh.shape[axis]
     assert T % n == 0, f"T={T} not divisible by mc axis size {n}"
@@ -115,31 +129,71 @@ def make_mc_sharded_fused_pipeline(
 
     impl_box = {}  # key impl captured at first call (rbg in production)
 
-    def shard_fn(params, stats, img, keydata):
-        keys = jax.random.wrap_key_data(keydata, impl=impl_box["impl"])  # (T/n,)
+    def shard_fn(params, stats, img, keydata, qh):
+        # keydata: (T/n, 15) u32 fixed-mask table rows, or (T/n, words)
+        # packed PRNG key data — selected at build time by fixed_masks
         out32, skip16, skip8, _ = darknet.darknet53(
             params["backbone"], stats["backbone"], img,
             training=False, compute_dtype=dtype,
         )
 
-        def one_sample(key):
-            feats, _ = yolo_lib._heads(
-                params, stats, out32, skip16, skip8,
-                spec=spec, training=False, dropout_active=True, rng=key,
-                compute_dtype=dtype, return_features=True,
-            )
-            return feats
+        if qh is not None:
+            from ..models.quant import _heads_q
 
-        feats = jax.vmap(one_sample)(keys)  # 3 x (T/n, 1, h, w, cfeat)
+            entry = qh["entry"]
+            q32 = quantize_act(out32, entry["out32"])
+            qs16 = quantize_act(skip16, entry["skip16"])
+            qs8 = quantize_act(skip8, entry["skip8"])
+
+            if fixed_masks is not None:
+                def one_sample(site_keys_u32):
+                    return _heads_q(qh, q32, qs16, qs8,
+                                    fixed_site_keys=site_keys_u32)
+
+                feats = jax.vmap(one_sample)(keydata)
+            else:
+                keys = jax.random.wrap_key_data(keydata, impl=impl_box["impl"])
+
+                def one_sample(key):
+                    return _heads_q(qh, q32, qs16, qs8, rng=key)
+
+                feats = jax.vmap(one_sample)(keys)
+        else:
+            if fixed_masks is not None:
+                def one_sample(site_keys_u32):
+                    feats, _ = yolo_lib._heads(
+                        params, stats, out32, skip16, skip8,
+                        spec=spec, training=False, dropout_active=True,
+                        fixed_site_keys=site_keys_u32,
+                        compute_dtype=dtype, return_features=True,
+                    )
+                    return feats
+
+                feats = jax.vmap(one_sample)(keydata)
+            else:
+                keys = jax.random.wrap_key_data(keydata, impl=impl_box["impl"])
+
+                def one_sample(key):
+                    feats, _ = yolo_lib._heads(
+                        params, stats, out32, skip16, skip8,
+                        spec=spec, training=False, dropout_active=True,
+                        rng=key, compute_dtype=dtype, return_features=True,
+                    )
+                    return feats
+
+                feats = jax.vmap(one_sample)(keys)  # 3 x (T/n, 1, h, w, cf)
         decoded = []
         for i, (f, stride) in enumerate(zip(feats, (32, 16, 8))):
             h, w = f.shape[2], f.shape[3]
-            # interpret (= off-TPU) runs the 1x1 head contraction in f32:
-            # XLA:CPU has no bf16 dot thunk (UNIMPLEMENTED BF16xBF16=F32)
-            raw_cf = detection_conv_cf(
-                params[f"det{i + 1}"], f,
-                compute_dtype=jnp.float32 if interpret else dtype,
-            )  # (ch, T/n, hw)
+            if qh is not None:
+                raw_cf = quant_detection_cf(qh[f"det{i + 1}"], f)
+            else:
+                # interpret (= off-TPU) runs the 1x1 head contraction in
+                # f32: XLA:CPU has no bf16 dot thunk (BF16xBF16=F32)
+                raw_cf = detection_conv_cf(
+                    params[f"det{i + 1}"], f,
+                    compute_dtype=jnp.float32 if interpret else dtype,
+                )  # (ch, T/n, hw)
             moments = epistemic_moments_cf(
                 raw_cf, cls_cnt=C, interpret=interpret
             )
@@ -162,18 +216,22 @@ def make_mc_sharded_fused_pipeline(
     sharded = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis)),
+        in_specs=(P(), P(), P(), P(axis), P()),
         out_specs=(P(), P()),
         check_rep=False,
     )
     jitted = jax.jit(sharded)
 
-    def call(params, stats, img, rng):
-        impl = jax.random.key_impl(rng)
-        impl_box.setdefault("impl", impl)
-        assert impl_box["impl"] == impl, "key impl must not change across calls"
-        keydata = jax.random.key_data(jax.random.split(rng, T))  # (T, words) u32
+    def call(params, stats, img, rng, qh=None):
+        if fixed_masks is not None:
+            keydata = yolo_lib._fixed_key_table(fixed_masks, T)  # (T, 15) u32
+        else:
+            impl = jax.random.key_impl(rng)
+            impl_box.setdefault("impl", impl)
+            assert impl_box["impl"] == impl, (
+                "key impl must not change across calls")
+            keydata = jax.random.key_data(jax.random.split(rng, T))
         keydata = jax.device_put(keydata, NamedSharding(mesh, P(axis)))
-        return jitted(params, stats, img, keydata)
+        return jitted(params, stats, img, keydata, qh)
 
     return call

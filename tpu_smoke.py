@@ -308,8 +308,12 @@ def quant_int8():
     qh = quantize_heads(params, stats, model.spec, amax)
     outs_f = mc_forward_cf(params, stats, imgs[:1], spec=model.spec, T=t,
                            rng=None, fixed_masks=seed)
+    # compute_dtype=f32 on BOTH paths so only the int8 head lowering
+    # differs (mc_forward_cf_q's default is bf16, which would mix bf16
+    # backbone noise into the parity signal — ADVICE r4)
     outs_q = mc_forward_cf_q(qh, params, stats, imgs[:1], spec=model.spec,
-                             T=t, rng=None, fixed_masks=seed)
+                             T=t, rng=None, fixed_masks=seed,
+                             compute_dtype=jnp.float32)
     worst = 0.0
     for (raw_f, _), (raw_q, _) in zip(outs_f, outs_q):
         a = np.asarray(raw_f, np.float64).ravel()
@@ -322,8 +326,47 @@ def quant_int8():
     return worst
 
 
+@check("quant_int8_batched_heads")
+def quant_int8_batched():
+    """The batched standard/aleatoric int8 section (round 5, VERDICT #1):
+    forward_cf vs forward_cf_q on the chip's int8 conv/dot lowering.
+    Deterministic section (no dropout) -> only quantization error."""
+    from bayesian_yolov3_tpu.config import Config
+    from bayesian_yolov3_tpu.models.quant import forward_cf_q
+    from bayesian_yolov3_tpu.models.yolov3 import YoloV3, forward_cf
+    from bayesian_yolov3_tpu.ops.quant import (
+        calibrate_forward_amax,
+        quantize_heads,
+    )
+
+    img_size = (64, 96, 3)
+    worst = 0.0
+    for variant in ("aleatoric", "standard"):
+        cfg = Config(model=variant, full_img_size=img_size,
+                     compute_dtype="float32", darknet53_weights="")
+        model = YoloV3.from_config(cfg)
+        params, stats = model.init(jax.random.PRNGKey(0))
+        r = np.random.default_rng(10)
+        imgs = jnp.asarray(r.uniform(0, 1, (2, *img_size)), jnp.float32)
+        amax = calibrate_forward_amax(params, stats, imgs, spec=model.spec)
+        qh = quantize_heads(params, stats, model.spec, amax)
+        outs_f = forward_cf(params, stats, imgs, spec=model.spec)
+        outs_q = forward_cf_q(qh, params, stats, imgs, spec=model.spec,
+                              compute_dtype=jnp.float32)
+        for (raw_f, _), (raw_q, _) in zip(outs_f, outs_q):
+            a = np.asarray(raw_f, np.float64).ravel()
+            b = np.asarray(raw_q, np.float64).ravel()
+            corr = np.corrcoef(a, b)[0, 1]
+            assert corr > 0.995, f"corr {corr}"
+            rel = np.abs(a - b).max() / np.abs(a).max()
+            assert rel < 0.10, f"rel max err {rel}"
+            worst = max(worst, rel)
+    return worst
+
+
 CHECKS = [conv_chain, conv_packed_input, epistemic_decode, epistemic_batched,
-          epistemic_moments, box_decode, nms_seq, nms_imgvec, quant_int8]
+          epistemic_moments, box_decode, nms_seq, nms_imgvec, quant_int8,
+          quant_int8_batched]
 
 
 def main():
