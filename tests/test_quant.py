@@ -250,31 +250,51 @@ def test_quant_batched_trained_map_agreement(trained_bayesian):
     m_f = evaluate_detections(preds_f, gt, [1, 2])
     m_q = evaluate_detections(preds_q, gt, [1, 2])
     assert m_f["mAP"] > 0.05, m_f  # non-vacuous
-    assert abs(m_q["mAP"] - m_f["mAP"]) <= 0.05, (m_q["mAP"], m_f["mAP"])
+    # same measured bound as the epistemic agreement test (dropout-free
+    # section -> if anything tighter)
+    assert abs(m_q["mAP"] - m_f["mAP"]) <= 0.01, (m_q["mAP"], m_f["mAP"])
 
 
 def test_quant_trained_map_agreement(trained_bayesian):
-    """The PARITY.md accuracy claim: on a trained model, the int8 pipeline's
-    mAP tracks the f32 production pipeline on the same weights/images.
+    """The PARITY.md accuracy claim + the round-5 calibration ablation:
+    on a trained model, BOTH int8 calibrations (max-abs and 99.9th
+    percentile) track the f32 production pipeline on the same
+    weights/images, at the bounds MEASURED in round 5 (VERDICT r4 #2):
 
-    fixed_mc_masks pins identical dropout masks in both pipelines, so the
+      * |dmAP| measured 0.000 for both calibrations -> assert <= 0.01
+        (5x tighter than the round-4 0.05 tolerance);
+      * matched-detection score deltas measured max 0.0074 (max-abs) /
+        0.0021 (p99.9) -> assert <= 0.02;
+      * matched-detection variance columns measured rel-delta mean ~0.11,
+        max 0.55 (max-abs) / 0.78 (p99.9) -> assert mean <= 0.3,
+        max <= 1.0.  This is the honest int8 cost: mAP and scores are
+        essentially exact, the uncertainty columns deviate by ~11% on
+        average with a tail — the measured reason the bf16 config keeps
+        the headline (its bf16-vs-f32 jitter bound is 0.35 max).
+
+    fixed_mc_masks pins identical dropout masks in all pipelines, so the
     only difference is head-conv precision."""
     from test_accuracy_parity import N_IMAGES, _score
-    from bayesian_yolov3_tpu.eval.detection_metrics import evaluate_detections
+    from bayesian_yolov3_tpu.eval.detection_metrics import (
+        _iou_matrix,
+        evaluate_detections,
+    )
 
     params, stats, imgs_u8, gt = trained_bayesian
     key = jax.random.PRNGKey(99)
 
     outs = {}
-    for mode in ("f32", "int8"):
+    for mode, pct in (("f32", None), ("int8_max", None),
+                      ("int8_p999", 99.9)):
         cfg = Config(
             model="bayesian", full_img_size=IMG, T=8, inference_mode=True,
             compute_dtype="float32", darknet53_weights="", nms_max_boxes=64,
             fixed_mc_masks=SEED,
             quantize=None if mode == "f32" else "int8",
+            quant_calib_percentile=pct,
         )
         runner = InferenceRunner(cfg)
-        if mode == "int8":
+        if mode != "f32":
             runner.calibrate_int8(params, stats, imgs_u8)
         res = {}
         for b in range(N_IMAGES):
@@ -283,11 +303,34 @@ def test_quant_trained_map_agreement(trained_bayesian):
             res[b] = (rows[0], valid[0])
         outs[mode] = res
 
-    preds_f, _ = _score(outs["f32"], runner.spec)
-    preds_q, _ = _score(outs["int8"], runner.spec)
+    preds_f, var_f = _score(outs["f32"], runner.spec)
     m_f = evaluate_detections(preds_f, gt, [1, 2])
-    m_q = evaluate_detections(preds_q, gt, [1, 2])
     assert m_f["mAP"] > 0.05, m_f  # non-vacuous: the model detects
-    # int8 PTQ tolerance — looser than the bf16 1e-3 clause (quantization
-    # is a deliberate accuracy/speed trade, measured here)
-    assert abs(m_q["mAP"] - m_f["mAP"]) <= 0.05, (m_q["mAP"], m_f["mAP"])
+
+    for mode in ("int8_max", "int8_p999"):
+        preds_q, var_q = _score(outs[mode], runner.spec)
+        m_q = evaluate_detections(preds_q, gt, [1, 2])
+        assert abs(m_q["mAP"] - m_f["mAP"]) <= 0.01, (
+            mode, m_q["mAP"], m_f["mAP"])
+
+        # matched-detection score + variance-column deltas
+        n_matched = 0
+        rels = []
+        for b in range(N_IMAGES):
+            bq, bf = preds_q[b][0], preds_f[b][0]
+            if not (len(bq) and len(bf)):
+                continue
+            iou = _iou_matrix(bq, bf)
+            for i in range(len(bq)):
+                j = int(iou[i].argmax())
+                if iou[i, j] < 0.7 or preds_q[b][1][i] < 0.5:
+                    continue
+                n_matched += 1
+                assert abs(preds_q[b][1][i] - preds_f[b][1][j]) <= 0.02, (
+                    mode, b, i)
+                rels.append(np.abs(var_q[b][i] - var_f[b][j])
+                            / (np.abs(var_f[b][j]) + 1e-7))
+        assert n_matched >= N_IMAGES, (mode, n_matched)
+        rels = np.asarray(rels)
+        assert rels.mean() <= 0.3, (mode, rels.mean())
+        assert rels.max() <= 1.0, (mode, rels.max())
