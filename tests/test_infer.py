@@ -125,8 +125,10 @@ def test_packed_host_input_guard(tmp_path, rng):
 
 def test_fixed_mc_masks_runner_deterministic(tmp_path, rng):
     """fixed_mc_masks: two full runner passes (fresh runner objects, fresh
-    rng streams) over the same tfrecords produce byte-identical ECP JSON;
-    the sharded paths reject the flag instead of silently ignoring it."""
+    rng streams) over the same tfrecords produce byte-identical ECP JSON.
+    Round 5: the mc-sharded FUSED path now composes (determinism held on
+    the mesh too — full parity in test_mc_sharded); the GSPMD fallback
+    and the sp mesh still reject the flag instead of silently ignoring it."""
     cfg, _ = _trained_checkpoint(tmp_path, rng, "bayesian")
     cfg.inference_mode = True
     cfg.T = 4
@@ -147,6 +149,16 @@ def test_fixed_mc_masks_runner_deterministic(tmp_path, rng):
 
     cfg.T = 8  # divides the mc axis (mesh must cover all 8 test devices)
     cfg.mesh_shape = {"mc": 8}
-    cfg.out_path = str(tmp_path / "out" / "fixed_mc")
+    # the fused mc-sharded pipeline composes with fixed masks (round 5):
+    # same determinism contract — two sharded passes, different seeds,
+    # byte-identical JSON
+    sa = run_once("fixed_mc_a", seed=3)
+    sb = run_once("fixed_mc_b", seed=4)
+    assert sa and sa == sb
+
+    # the GSPMD fallback (use_pallas=False) still rejects the flag
+    cfg.use_pallas = False
+    cfg.out_path = str(tmp_path / "out" / "fixed_mc_xla")
     with pytest.raises(ValueError, match="fixed_mc_masks"):
         InferenceRunner(cfg)
+    cfg.use_pallas = True
