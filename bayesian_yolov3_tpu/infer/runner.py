@@ -61,13 +61,53 @@ class InferenceRunner:
         #   (inference_epistemic.py:221, SURVEY §5.7); any variant;
         # * {'mc': N}: the T MC-dropout samples shard over N devices
         #   (SURVEY §2.9's north-star axis); epistemic only;
-        # * {'sp': a, 'mc': b}: both composed (epistemic).
+        # * {'sp': a, 'mc': b}: both composed (epistemic);
+        # * {'dp': N}: the image batch shards over N devices, each running
+        #   the complete fused single-device pipeline (parallel/batch.py) —
+        #   the throughput axis for the batched standard/aleatoric configs;
+        #   composes with quantize="int8".
         # Single-device otherwise.
         self.mesh = None
         self.sp_mesh = None
+        self.dp_mesh = None
         self._sp_mc_axis = None
         self._mc_fused = None
-        if config.mesh_shape.get("sp", 0) > 1:
+        self._dp_pipeline = None
+        if config.mesh_shape.get("dp", 0) > 1:
+            from ..parallel import mesh as mesh_lib
+            from ..parallel.batch import make_dp_batched_pipeline
+
+            if self.epistemic:
+                raise ValueError(
+                    "the dp axis shards the image batch; epistemic "
+                    "inference is batch-1 (shard T with {'mc': N} instead)"
+                )
+            if len(config.mesh_shape) > 1:
+                raise ValueError("dp does not compose with sp/mc axes")
+            n = config.mesh_shape["dp"]
+            if config.batch_size % n != 0:
+                raise ValueError(
+                    f"batch_size {config.batch_size} must divide over the "
+                    f"dp axis ({n})"
+                )
+            if config.packed_host_input:
+                raise ValueError(
+                    "packed_host_input is a single-device feed; the dp "
+                    "path takes plain NHWC batches"
+                )
+            self.dp_mesh = mesh_lib.make_mesh({"dp": n})
+            self._dp_pipeline = make_dp_batched_pipeline(
+                self.model, self.dp_mesh,
+                priors_by_stride=self._priors,
+                obj_idx=self.spec.obj_idx(epistemic=False),
+                nms_max_boxes=config.nms_max_boxes,
+                nms_iou_thresh=config.nms_iou_thresh,
+                nms_pre_top_k=0,  # multi-chip: exact NMS outright
+                use_pallas=config.use_pallas,
+                interpret=jax.devices()[0].platform != "tpu",
+                standard_test_dropout=config.standard_test_dropout,
+            )
+        elif config.mesh_shape.get("sp", 0) > 1:
             from ..parallel import mesh as mesh_lib
 
             shape = {"sp": config.mesh_shape["sp"]}
@@ -133,7 +173,17 @@ class InferenceRunner:
                     "shard_map pipeline (config.use_pallas=True); the GSPMD "
                     "fallback cannot partition the quantized section"
                 )
-        if self._mc_fused is not None:
+        if self._dp_pipeline is not None:
+            dp = self._dp_pipeline
+
+            def run_dp(params, stats, images, rng, qh=None):
+                imgs = jnp.asarray(images).astype(jnp.float32) / 255.0
+                rows, valid = dp(params, stats, imgs, rng, qh)
+                # per-device NMS runs exact (pre_top_k=0) outright
+                return rows, valid, jnp.ones((rows.shape[0],), jnp.bool_)
+
+            self._jit = run_dp  # jitted inside the shard_map wrapper
+        elif self._mc_fused is not None:
             fused = self._mc_fused
 
             def run_fused(params, stats, images, rng, qh=None):
