@@ -526,7 +526,7 @@ class InferenceRunner:
             return rows[None], valid[None], cert[None]
         if self._use_fused_kernels():
             from ..models.yolov3 import forward_cf
-            from ..ops.pallas_decode import fused_box_decode_cf
+            from ..ops.pallas_decode import fused_box_decode_all_scales
 
             if qh is not None:
                 from ..models.quant import forward_cf_q
@@ -542,16 +542,8 @@ class InferenceRunner:
                     standard_test_dropout=self.config.standard_test_dropout,
                     compute_dtype=self.model._dtype, packed_hw=packed_hw,
                 )
-            flat = jnp.concatenate(
-                [
-                    fused_box_decode_cf(
-                        raw_cf, jnp.asarray(self._priors[stride]),
-                        h=hw[0], w=hw[1], cls_cnt=self.spec.cls_cnt,
-                        layer_id=i, aleatoric=self.spec.aleatoric_head,
-                    )
-                    for i, ((raw_cf, hw), stride) in enumerate(zip(outs, (32, 16, 8)))
-                ],
-                axis=1,
+            flat = fused_box_decode_all_scales(
+                outs, self._priors, spec=self.spec
             )  # (batch, N_total, width), reference concat order
 
             rows, valid, _, cert = nms.nms_select_batch(

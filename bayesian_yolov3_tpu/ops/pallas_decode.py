@@ -134,3 +134,29 @@ def fused_box_decode_cf(
 
     # (B, width, nb, hw) -> (nb, B*hw, width), reference concat order
     return out.transpose(2, 0, 3, 1).reshape(nb, B * hw, width)
+
+
+def fused_box_decode_all_scales(outs, priors_by_stride, *, spec,
+                                interpret: bool = False):
+    """All-scales batched decode: the one production sequence shared by
+    the runner's fused branch, the dp-sharded pipeline (parallel/batch.py)
+    and bench_all.
+
+    ``outs``: [(raw_cf (ch, batch, h*w), (h, w)), ...] from
+    models.yolov3.forward_cf / models.quant.forward_cf_q, scale order
+    32/16/8.  Returns (batch, N_total, width) flat decoded rows in the
+    reference concat order.
+    """
+    return jnp.concatenate(
+        [
+            fused_box_decode_cf(
+                raw_cf, jnp.asarray(priors_by_stride[stride]),
+                h=hw[0], w=hw[1], cls_cnt=spec.cls_cnt, layer_id=i,
+                aleatoric=spec.aleatoric_head, interpret=interpret,
+            )
+            for i, ((raw_cf, hw), stride) in enumerate(
+                zip(outs, (32, 16, 8))
+            )
+        ],
+        axis=1,
+    )

@@ -58,8 +58,9 @@ def make_dp_batched_pipeline(
     """
     from jax.experimental.shard_map import shard_map
 
+    from ..ops import decode as decode_ops
     from ..ops import nms as nms_lib
-    from ..ops.pallas_decode import fused_box_decode_cf
+    from ..ops.pallas_decode import fused_box_decode_all_scales
 
     n = mesh.shape[axis]
     spec = model.spec
@@ -91,19 +92,29 @@ def make_dp_batched_pipeline(
                 # the fused early-backbone Pallas chain is gated to the
                 # real-TPU backend internally; off-TPU tests take XLA
             )
-        flat = jnp.concatenate(
-            [
-                fused_box_decode_cf(
-                    raw_cf, jnp.asarray(priors_by_stride[stride]),
-                    h=hw[0], w=hw[1], cls_cnt=spec.cls_cnt, layer_id=i,
-                    aleatoric=spec.aleatoric_head, interpret=interpret,
+        if use_pallas:
+            flat = fused_box_decode_all_scales(
+                outs, priors_by_stride, spec=spec, interpret=interpret
+            )  # (local_batch, N_total, width)
+        else:
+            # use_pallas=False (the kernel-bisection escape hatch every
+            # other path honors): relayout the cf raws to NHWC and run
+            # the XLA decode twin
+            raws = [
+                raw_cf.reshape(raw_cf.shape[0], imgs.shape[0], hw[0], hw[1])
+                .transpose(1, 2, 3, 0)
+                for raw_cf, hw in outs
+            ]
+            decoded = []
+            for i, (raw, stride) in enumerate(zip(raws, (32, 16, 8))):
+                det = decode_ops.split_detection(raw, spec)
+                pri = jnp.asarray(priors_by_stride[stride])
+                decoded.append(
+                    decode_ops.decode_bbox_aleatoric(det, pri, layer_id=i)
+                    if spec.aleatoric_head
+                    else decode_ops.decode_bbox_standard(det, pri, layer_id=i)
                 )
-                for i, ((raw_cf, hw), stride) in enumerate(
-                    zip(outs, (32, 16, 8))
-                )
-            ],
-            axis=1,
-        )  # (local_batch, N_total, width)
+            flat = decode_ops.concat_all_scales_batched(decoded)
         rows, valid, _ = nms_lib.nms_select_batch(
             flat, obj_idx, nms_max_boxes, nms_iou_thresh,
             pre_top_k=nms_pre_top_k, use_pallas=use_pallas,

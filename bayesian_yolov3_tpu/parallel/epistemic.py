@@ -145,43 +145,26 @@ def make_mc_sharded_fused_pipeline(
             qs16 = quantize_act(skip16, entry["skip16"])
             qs8 = quantize_act(skip8, entry["skip8"])
 
-            if fixed_masks is not None:
-                def one_sample(site_keys_u32):
-                    return _heads_q(qh, q32, qs16, qs8,
-                                    fixed_site_keys=site_keys_u32)
+        # one sample-fn over the per-sample arg (a fixed-mask u32 key row
+        # or a wrapped PRNG key), vmapped over the device's T/n rows
+        def one_sample(sample_arg):
+            key, site_keys = ((None, sample_arg) if fixed_masks is not None
+                              else (sample_arg, None))
+            if qh is not None:
+                return _heads_q(qh, q32, qs16, qs8, rng=key,
+                                fixed_site_keys=site_keys)
+            feats, _ = yolo_lib._heads(
+                params, stats, out32, skip16, skip8,
+                spec=spec, training=False, dropout_active=True,
+                rng=key, fixed_site_keys=site_keys,
+                compute_dtype=dtype, return_features=True,
+            )
+            return feats
 
-                feats = jax.vmap(one_sample)(keydata)
-            else:
-                keys = jax.random.wrap_key_data(keydata, impl=impl_box["impl"])
-
-                def one_sample(key):
-                    return _heads_q(qh, q32, qs16, qs8, rng=key)
-
-                feats = jax.vmap(one_sample)(keys)
-        else:
-            if fixed_masks is not None:
-                def one_sample(site_keys_u32):
-                    feats, _ = yolo_lib._heads(
-                        params, stats, out32, skip16, skip8,
-                        spec=spec, training=False, dropout_active=True,
-                        fixed_site_keys=site_keys_u32,
-                        compute_dtype=dtype, return_features=True,
-                    )
-                    return feats
-
-                feats = jax.vmap(one_sample)(keydata)
-            else:
-                keys = jax.random.wrap_key_data(keydata, impl=impl_box["impl"])
-
-                def one_sample(key):
-                    feats, _ = yolo_lib._heads(
-                        params, stats, out32, skip16, skip8,
-                        spec=spec, training=False, dropout_active=True,
-                        rng=key, compute_dtype=dtype, return_features=True,
-                    )
-                    return feats
-
-                feats = jax.vmap(one_sample)(keys)  # 3 x (T/n, 1, h, w, cf)
+        sample_arg = (keydata if fixed_masks is not None else
+                      jax.random.wrap_key_data(keydata,
+                                               impl=impl_box["impl"]))
+        feats = jax.vmap(one_sample)(sample_arg)  # 3 x (T/n, 1, h, w, cf)
         decoded = []
         for i, (f, stride) in enumerate(zip(feats, (32, 16, 8))):
             h, w = f.shape[2], f.shape[3]

@@ -126,7 +126,7 @@ def bench_batched(model, nb, packed=False, quantize=False):
     from bayesian_yolov3_tpu.core.priors import priors_as_array
     from bayesian_yolov3_tpu.models.yolov3 import YoloV3, forward_cf
     from bayesian_yolov3_tpu.ops import nms
-    from bayesian_yolov3_tpu.ops.pallas_decode import fused_box_decode_cf
+    from bayesian_yolov3_tpu.ops.pallas_decode import fused_box_decode_all_scales
 
     cfg = Config(model=model, full_img_size=FULL)
     m = YoloV3.from_config(cfg)
@@ -168,15 +168,7 @@ def bench_batched(model, nb, packed=False, quantize=False):
         else:
             outs = forward_cf(p, s, x, spec=m.spec, compute_dtype=m._dtype,
                               packed_hw=FULL[:2] if packed else None)
-        flat = jnp.concatenate(
-            [
-                fused_box_decode_cf(r, jnp.asarray(pri[st]), h=hw[0], w=hw[1],
-                                    cls_cnt=2, layer_id=i,
-                                    aleatoric=m.spec.aleatoric_head)
-                for i, ((r, hw), st) in enumerate(zip(outs, (32, 16, 8)))
-            ],
-            axis=1,
-        )
+        flat = fused_box_decode_all_scales(outs, pri, spec=m.spec)
         # production path: batched Pallas NMS (images on the kernel grid)
         return jnp.sum(nms.nms_select_batch(
             flat, obj_idx, 1000, 0.5, pre_top_k=8192, use_pallas=True)[2])
@@ -421,6 +413,8 @@ ROWS = {
         packed=True, quantize=True, fixed_masks=123),
     "aleatoric_batch11": lambda: bench_batched("aleatoric", 11),
     "standard_batch11": lambda: bench_batched("standard", 11),
+    "standard_batch11_packed": lambda: bench_batched("standard", 11,
+                                                     packed=True),
     "aleatoric_batch11_packed": lambda: bench_batched("aleatoric", 11,
                                                       packed=True),
     # int8 PTQ of the batched heads (VERDICT r4 #1: point the measured
@@ -449,6 +443,14 @@ def main(only=()):
     4); the rule is enforced here, not just prose (ADVICE r4).  A
     single-row invocation (`bench_all.py <int8_row>`) runs in-process —
     that is exactly the isolated measurement.
+
+    Subprocess rows run FIRST, before any in-process row initializes
+    this process's JAX client: the axon TPU allows ONE process at a
+    time (CLAUDE.md), so a child spawned after the parent holds the
+    device lock would block forever.  Results always MERGE into the
+    existing BENCH_DETAIL.json (never start from empty), and the file
+    is updated after every row, so a crash or hang mid-run cannot lose
+    previously committed rows.
     """
     import subprocess
 
@@ -456,22 +458,28 @@ def main(only=()):
                        "BENCH_DETAIL.json")
     selected = [n for n in ROWS if not only or n in only]
     results = {}
-    if only and os.path.exists(out):
+    if os.path.exists(out):
         with open(out) as f:
             results = json.load(f)
     isolate_int8 = len(selected) > 1
+    sub_rows = [n for n in selected if "int8" in n and isolate_int8]
+    for name in sub_rows:
+        print(f"{name}: own process (int8 isolation, BENCH_NOTES r4; "
+              "runs before this process touches the TPU)")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name], check=True)
+        with open(out) as f:
+            results[name] = json.load(f)[name]
+        print(name, json.dumps(results[name]))
     for name in selected:
-        if "int8" in name and isolate_int8:
-            print(f"{name}: own process (int8 isolation, BENCH_NOTES r4)")
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), name], check=True)
-            with open(out) as f:
-                results[name] = json.load(f)[name]
-        else:
-            results[name] = ROWS[name]()
+        if name in sub_rows:
+            continue
+        results[name] = ROWS[name]()
         print(name, json.dumps(results[name]))
         with open(out, "w") as f:
             json.dump(results, f, indent=2)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
 
 

@@ -22,7 +22,7 @@ from bayesian_yolov3_tpu.core.priors import priors_as_array
 from bayesian_yolov3_tpu.infer.runner import InferenceRunner
 from bayesian_yolov3_tpu.models.yolov3 import YoloV3, forward_cf
 from bayesian_yolov3_tpu.ops import nms
-from bayesian_yolov3_tpu.ops.pallas_decode import fused_box_decode_cf
+from bayesian_yolov3_tpu.ops.pallas_decode import fused_box_decode_all_scales
 from bayesian_yolov3_tpu.parallel import mesh as mesh_lib
 from bayesian_yolov3_tpu.parallel.batch import make_dp_batched_pipeline
 
@@ -46,17 +46,8 @@ def _single_device_batched(m, params, stats, imgs, pri, obj_idx, qh=None,
         else:
             outs = forward_cf(params, stats, img, spec=m.spec,
                               compute_dtype=jnp.float32)
-        flat = jnp.concatenate(
-            [
-                fused_box_decode_cf(
-                    r, jnp.asarray(pri[st]), h=hw[0], w=hw[1],
-                    cls_cnt=m.spec.cls_cnt, layer_id=i,
-                    aleatoric=m.spec.aleatoric_head, interpret=True,
-                )
-                for i, ((r, hw), st) in enumerate(zip(outs, (32, 16, 8)))
-            ],
-            axis=1,
-        )
+        flat = fused_box_decode_all_scales(outs, pri, spec=m.spec,
+                                           interpret=True)
         r_, v_ = nms.nms_select_batch(flat, obj_idx, max_out, 0.5,
                                       pre_top_k=0, use_pallas=True,
                                       interpret=True)[:2]
@@ -174,6 +165,27 @@ def test_runner_dp_end_to_end_with_int8(tmp_path, rng):
         qh=dp_q._qheads, max_out=base["nms_max_boxes"])
     np.testing.assert_array_equal(valid_m, valid_s)
     np.testing.assert_allclose(rows_m, rows_s, rtol=1e-5, atol=1e-6)
+
+
+def test_dp_use_pallas_false_xla_twin():
+    """use_pallas=False on the dp path runs the XLA decode/NMS twin per
+    device (the kernel-bisection escape hatch every other path honors)."""
+    assert len(jax.devices()) == 8
+    cfg = Config(model="aleatoric", full_img_size=IMG,
+                 compute_dtype="float32", darknet53_weights="")
+    m = YoloV3.from_config(cfg)
+    params, stats = m.init(jax.random.PRNGKey(0))
+    pri = priors_as_array(m.priors)
+    mesh = mesh_lib.make_mesh({"dp": 8})
+    fn = make_dp_batched_pipeline(
+        m, mesh, priors_by_stride=pri, obj_idx=m.spec.obj_idx(False),
+        nms_max_boxes=20, use_pallas=False, interpret=True,
+    )
+    imgs = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (8, *IMG)).astype(np.float32))
+    rows, valid = fn(params, stats, imgs, None)
+    assert rows.shape[0] == 8
+    assert np.isfinite(np.asarray(rows)[np.asarray(valid)].sum())
 
 
 def test_dp_validation_errors():
