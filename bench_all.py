@@ -34,7 +34,8 @@ def _pipe_time(dispatch, iters=8, depth=2):
     return (time.time() - t0) / iters
 
 
-def bench_epistemic(packed=False, nb=1, quantize=False, fixed_masks=None):
+def bench_epistemic(packed=False, nb=1, quantize=False, fixed_masks=None,
+                    T=30):
     import jax, jax.numpy as jnp
     from bayesian_yolov3_tpu.config import Config
     from bayesian_yolov3_tpu.core.priors import priors_as_array
@@ -45,7 +46,7 @@ def bench_epistemic(packed=False, nb=1, quantize=False, fixed_masks=None):
         fused_epistemic_decode_cf_batched,
     )
 
-    cfg = Config(model="bayesian", full_img_size=FULL, T=30, inference_mode=True)
+    cfg = Config(model="bayesian", full_img_size=FULL, T=T, inference_mode=True)
     m = YoloV3.from_config(cfg)
     pri = priors_as_array(m.priors)
     params, stats = m.init(jax.random.PRNGKey(0))
@@ -79,12 +80,12 @@ def bench_epistemic(packed=False, nb=1, quantize=False, fixed_masks=None):
             from bayesian_yolov3_tpu.models.quant import mc_forward_cf_q
 
             outs = mc_forward_cf_q(
-                qh, p, s, x, spec=m.spec, T=30, rng=k,
+                qh, p, s, x, spec=m.spec, T=T, rng=k,
                 compute_dtype=m._dtype,
                 packed_hw=FULL[:2] if packed else None,
                 fixed_masks=fixed_masks)
         else:
-            outs = mc_forward_cf(p, s, x, spec=m.spec, T=30, rng=k, compute_dtype=m._dtype,
+            outs = mc_forward_cf(p, s, x, spec=m.spec, T=T, rng=k, compute_dtype=m._dtype,
                                  packed_hw=FULL[:2] if packed else None,
                                  fixed_masks=fixed_masks)
         if nb == 1:
@@ -399,6 +400,11 @@ def bench_nms_full_anchor():
 
 ROWS = {
     "epistemic_T30_batch1": bench_epistemic,
+    # the reference's own epistemic inference default is T=50
+    # (inference_epistemic.py:221); T=30 is the BASELINE.json north-star
+    # config — both stay on the record
+    "epistemic_T50_batch1_packed": lambda: bench_epistemic(packed=True,
+                                                           T=50),
     "epistemic_T30_batch1_packed": lambda: bench_epistemic(packed=True),
     "epistemic_T30_batch2": lambda: bench_epistemic(packed=True, nb=2),
     "epistemic_T30_int8": lambda: bench_epistemic(packed=True, quantize=True),
