@@ -111,6 +111,14 @@ def fused_box_decode_cf(
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(1, hw)
 
     tile = _pick_tile(hw)
+    # the kernel block holds (chpp + width) x nb x tile f32 in VMEM; at
+    # large image batches the hw-only tile pick blows the 16M scoped
+    # limit (measured: aleatoric batch 33 at ECP stride-8 OOMs with
+    # tile=2048).  Halve the tile (divisibility is preserved — the picks
+    # are powers of two) until nb*tile fits the same budget batch-11
+    # production uses.
+    while nb * tile > 32768 and tile > 128 and hw % (tile // 2) == 0:
+        tile //= 2
     grid = (B, hw // tile)
 
     out = pl.pallas_call(

@@ -423,6 +423,12 @@ ROWS = {
                                                      packed=True),
     "aleatoric_batch11_packed": lambda: bench_batched("aleatoric", 11,
                                                       packed=True),
+    # batch headroom beyond the reference's pinned batch-11 config
+    # (round 5: the decode kernel's nb-aware tiling unlocked nb > 22)
+    "aleatoric_batch22_packed": lambda: bench_batched("aleatoric", 22,
+                                                      packed=True),
+    "aleatoric_batch44_packed": lambda: bench_batched("aleatoric", 44,
+                                                      packed=True),
     # int8 PTQ of the batched heads (VERDICT r4 #1: point the measured
     # 1.57-1.86x head-section lever at the reference's batch-11 config)
     "aleatoric_batch11_int8": lambda: bench_batched("aleatoric", 11,
