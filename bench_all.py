@@ -437,6 +437,11 @@ ROWS = {
     "standard_batch11_int8": lambda: bench_batched("standard", 11,
                                                    packed=True,
                                                    quantize=True),
+    # int8 at the batch-44 headroom config: does the head-section win
+    # reappear once dispatch overheads amortize? (BENCH_NOTES r5)
+    "aleatoric_batch44_int8": lambda: bench_batched("aleatoric", 44,
+                                                    packed=True,
+                                                    quantize=True),
     "train_step": bench_train,
     "runner_aleatoric_batch11_e2e": bench_runner_aleatoric,
     "train_from_tfrecords": bench_train_from_tfrecords,
