@@ -111,13 +111,18 @@ def fused_box_decode_cf(
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(1, hw)
 
     tile = _pick_tile(hw)
-    # the kernel block holds (chpp + width) x nb x tile f32 in VMEM; at
-    # large image batches the hw-only tile pick blows the 16M scoped
-    # limit (measured: aleatoric batch 33 at ECP stride-8 OOMs with
-    # tile=2048).  Halve the tile (divisibility is preserved — the picks
-    # are powers of two) until nb*tile fits the same budget batch-11
-    # production uses.
-    while nb * tile > 32768 and tile > 128 and hw % (tile // 2) == 0:
+    # the kernel block holds (chpp in + width out) x nb x tile f32 in
+    # VMEM, double-buffered; at large image batches the hw-only tile
+    # pick blows the 16M scoped limit (measured: aleatoric batch 33 at
+    # ECP stride-8 OOMs with tile=2048).  Halve the tile until the
+    # block footprint fits an 8M budget (half the scoped limit, the
+    # envelope the proven batch-11 config uses).  `tile % 256 == 0`
+    # guards both divisibility of hw by the halved tile AND the Pallas
+    # last-dim constraint (128-divisible) — on _pick_tile's fallback
+    # path (tile == hw, not power-of-two) no halving happens and Mosaic
+    # pads the single tile internally, as before.
+    block_bytes = (chpp + width) * nb * 4 * 2
+    while block_bytes * tile > 8 * 1024 * 1024 and tile % 256 == 0:
         tile //= 2
     grid = (B, hw // tile)
 

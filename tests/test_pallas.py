@@ -151,3 +151,38 @@ def test_moments_plus_finalize_matches_fused_decode(rng, n_shards):
     np.testing.assert_allclose(got[0, :, :12], want_flat[:, :12], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(got[0, :, 12], want_flat[:, 12], rtol=1e-3, atol=1e-6)
     np.testing.assert_allclose(got[0, :, 13:], want_flat[:, 13:], rtol=1e-4, atol=2e-4)
+
+
+def test_fused_box_decode_large_batch_tile_halving(rng):
+    """The nb-aware VMEM tile halving (round 5: unlocks inference batches
+    > 22 at ECP resolution) must not change values.
+
+    Geometry chosen to TRIGGER the halving in interpret mode: aleatoric
+    C=2 has (chpp + width) = 30, so the 8M block budget halves the
+    hw=2048 tile once nb >= 18 (30 * nb * 8 * 2048 > 8Mi).  Parity is
+    asserted against the per-image XLA decode oracle, same as the small
+    geometry test above.
+    """
+    from bayesian_yolov3_tpu.ops.pallas_decode import fused_box_decode_cf
+
+    spec = VariantSpec(Variant.ALEATORIC, C)
+    nb, h, w = 18, 16, 128  # hw = 2048 exactly one _pick_tile tile
+    chpp = spec.head_channels_per_prior
+    assert (chpp + 14 + C) * nb * 4 * 2 * 2048 > 8 * 1024 * 1024
+    raw = rng.standard_normal((nb, h, w, 3 * chpp)).astype(np.float32)
+
+    det = decode.split_detection(jnp.asarray(raw), spec)
+    ref = decode.decode_bbox_aleatoric(det, jnp.asarray(PRIORS), layer_id=2)
+    want = np.stack([
+        np.asarray(ref[b]).transpose(2, 0, 1, 3).reshape(3 * h * w, -1)
+        for b in range(nb)
+    ])
+    raw_cf = jnp.asarray(raw.reshape(nb, h * w, 3 * chpp).transpose(2, 0, 1))
+    got = np.asarray(
+        fused_box_decode_cf(
+            raw_cf, jnp.asarray(PRIORS), h=h, w=w, cls_cnt=C, layer_id=2,
+            aleatoric=True, interpret=True,
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
