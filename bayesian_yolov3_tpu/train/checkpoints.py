@@ -60,14 +60,47 @@ class CheckpointStore:
 
     def restore_partial(self, like: Dict[str, Any], step: Any = "last"):
         """Restore only the top-level keys present in ``like`` (e.g. params/
-        frozen/stats for inference, without the optimizer state)."""
+        frozen/stats for inference, without the optimizer state).
+
+        Every restored leaf is shape-checked against ``like``: orbax
+        restores arrays at their SAVED shapes when no target is enforced,
+        so loading a checkpoint of a different model variant (e.g. a
+        standard-trained run into an aleatoric config — det convs 21 vs
+        42 wide) would otherwise surface as a shape assert deep inside
+        the first compiled kernel instead of here.  The reference's
+        tf.train.Saver fails loudly at restore for the same mismatch.
+        """
+        import jax
+
         if step == "last":
             step = self.latest_step()
             assert step is not None, f"no checkpoints in {self.dir}"
         full = self.manager.restore(int(step))
         missing = [k for k in like if k not in full]
         assert not missing, f"checkpoint at step {step} lacks keys {missing}"
-        return {k: full[k] for k in like}, int(step)
+        out = {k: full[k] for k in like}
+        mismatches = []
+
+        def _check(path, want, got):
+            ws = getattr(want, "shape", None)
+            gs = getattr(got, "shape", None)
+            if ws != gs:
+                name = jax.tree_util.keystr(path)
+                mismatches.append(f"{name}: checkpoint {gs} vs model {ws}")
+            return got
+
+        for k in out:
+            out[k] = jax.tree_util.tree_map_with_path(
+                _check, like[k], out[k])
+        if mismatches:
+            raise ValueError(
+                f"checkpoint at step {step} does not match this model's "
+                f"shapes — wrong variant or config? "
+                + "; ".join(mismatches[:5])
+                + (f" (+{len(mismatches) - 5} more)"
+                   if len(mismatches) > 5 else "")
+            )
+        return out, int(step)
 
     def all_steps(self):
         return self.manager.all_steps()

@@ -1,6 +1,7 @@
 """End-to-end inference runner tests: train a couple of steps, write a
 checkpoint, run tfrecords -> ECP JSON for all three variants."""
 
+import copy
 import glob
 import json
 import os
@@ -162,3 +163,18 @@ def test_fixed_mc_masks_runner_deterministic(tmp_path, rng):
     with pytest.raises(ValueError, match="fixed_mc_masks"):
         InferenceRunner(cfg)
     cfg.use_pallas = True
+
+
+def test_wrong_variant_checkpoint_fails_loudly(tmp_path, rng):
+    """Loading a standard-trained checkpoint into an aleatoric inference
+    config must raise a clear shape-mismatch error at restore (the det
+    convs are 21 vs 42 wide), not a shape assert deep inside the first
+    compiled kernel.  Orbax restores saved shapes when untargeted, so
+    the check lives in CheckpointStore.restore_partial (round 5; the
+    reference's tf.train.Saver fails loudly at the same point)."""
+    cfg, _ = _trained_checkpoint(tmp_path, rng, "standard")
+    cfg_bad = copy.deepcopy(cfg)
+    cfg_bad.model = "aleatoric"
+    runner = InferenceRunner(cfg_bad)
+    with pytest.raises(ValueError, match="does not match this model"):
+        runner.load_state()
